@@ -1,0 +1,118 @@
+"""Batched alternating minimisation — upper-bound heuristic.
+
+The reference's altmin (`/root/reference/src/OptimalMatrixCompletion.jl:
+1979-2279`) solves two Mosek models per iteration.  Both subproblems are
+(masked) ridge least-squares; on TPU each step is a closed-form batched
+k x k solve (see ``omc.ops.linalg``), vmapped over many altmin runs
+(multi-restart at the root, probability-gated runs across B&B nodes).
+
+The U-step here is the unconstrained ridge solution projected onto the
+box (and column balls); the reference instead solves a cut-constrained
+SOCP.  Upper-bound *validity* is unaffected — any rank-<=k iterate gives a
+valid incumbent via the exact objective (reference evaluates objectives the
+same way at lines 920-927) — only the search trajectory differs.
+
+Convergence mirrors the reference (lines 2231-2245): relative objective
+change < eps (1e-5), or the last 5 objectives all exceeding the value 5
+steps earlier (oscillation), capped at 100 iterations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from omc.ops.linalg import v_step, u_step_unconstrained
+
+
+class AltminResult(NamedTuple):
+    U: jnp.ndarray  # (B, n, k)
+    V: jnp.ndarray  # (B, k, m)
+    objective: jnp.ndarray  # (B,)
+    converged: jnp.ndarray  # (B,) bool
+    n_iters: jnp.ndarray  # (B,) int32
+
+
+def _objective(U, V, A, mask, gamma):
+    X = U @ V
+    fit = 0.5 * jnp.sum(jnp.where(mask > 0, (X - A) ** 2, 0.0), axis=(-2, -1))
+    reg = (0.5 / gamma) * jnp.sum(X * X, axis=(-2, -1))
+    return fit + reg
+
+
+def _project_U(U, U_lo, U_hi):
+    """Project onto box then scale columns into the unit ball.
+
+    Exact for the disjunctive-cuts path where the box always contains 0
+    (root symmetry-breaking box, reference lines 626-631, inherited
+    unchanged by disjunctive children, line 2526)."""
+    U = jnp.clip(U, U_lo, U_hi)
+    nrm = jnp.linalg.norm(U, axis=-2, keepdims=True)
+    return U * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-30))
+
+
+def make_altmin(n: int, m: int, k: int, gamma: float, *, max_iters: int = 100,
+                tol: float = 1e-5, dtype=jnp.float32):
+    """Build a jitted batched altmin: (A, mask, U_init, U_lo, U_hi) -> AltminResult."""
+
+    vstep_b = jax.vmap(v_step, in_axes=(0, None, None, None))
+    ustep_b = jax.vmap(u_step_unconstrained, in_axes=(0, None, None, None))
+
+    def run(A, mask, U_init, U_lo, U_hi):
+        A = A.astype(dtype)
+        mask = mask.astype(dtype)
+        U0 = U_init.astype(dtype)
+        B = U0.shape[0]
+
+        class Carry(NamedTuple):
+            U: jnp.ndarray
+            V: jnp.ndarray
+            obj_hist: jnp.ndarray  # (B, 6) ring of recent objectives
+            obj_cur: jnp.ndarray  # (B,)
+            done: jnp.ndarray  # (B,) bool
+            conv: jnp.ndarray  # (B,) bool
+            iters: jnp.ndarray  # (B,) int32
+            t: jnp.ndarray  # scalar int32
+
+        def cond(c: Carry):
+            return jnp.logical_and(c.t < max_iters, ~jnp.all(c.done))
+
+        def step(c: Carry):
+            V_new = vstep_b(c.U, A, mask, gamma)
+            U_new = ustep_b(V_new, A, mask, gamma)
+            U_new = _project_U(U_new, U_lo, U_hi)
+            obj_new = _objective(U_new, V_new, A, mask, gamma)
+            rel = jnp.abs((obj_new - c.obj_cur) / jnp.where(c.obj_cur == 0, 1.0, c.obj_cur))
+            hist = jnp.concatenate([c.obj_hist[:, 1:], obj_new[:, None]], axis=1)
+            oscillating = jnp.logical_and(
+                c.t >= 5, jnp.all(hist[:, 1:] > hist[:, 0:1], axis=1)
+            )
+            newly_conv = jnp.logical_and(~c.done, jnp.logical_or(rel < tol, oscillating))
+            done = jnp.logical_or(c.done, newly_conv)
+            upd = ~c.done  # items still running take the step
+            sel = lambda new, old: jnp.where(
+                upd.reshape((B,) + (1,) * (new.ndim - 1)), new, old
+            )
+            return Carry(
+                U=sel(U_new, c.U), V=sel(V_new, c.V),
+                obj_hist=jnp.where(upd[:, None], hist, c.obj_hist),
+                obj_cur=jnp.where(upd, obj_new, c.obj_cur),
+                done=done, conv=jnp.logical_or(c.conv, newly_conv),
+                iters=c.iters + upd.astype(jnp.int32), t=c.t + 1,
+            )
+
+        init = Carry(
+            U=U0, V=jnp.zeros((B, k, m), dtype),
+            obj_hist=jnp.full((B, 6), jnp.inf, dtype),
+            obj_cur=jnp.full((B,), 1e10, dtype),
+            done=jnp.zeros((B,), bool), conv=jnp.zeros((B,), bool),
+            iters=jnp.zeros((B,), jnp.int32), t=jnp.asarray(0, jnp.int32),
+        )
+        c = jax.lax.while_loop(cond, step, init)
+        obj = _objective(c.U, c.V, A, mask, gamma)
+        return AltminResult(U=c.U, V=c.V, objective=obj, converged=c.conv, n_iters=c.iters)
+
+    return jax.jit(run)

@@ -1,0 +1,516 @@
+"""Branch-and-bound driver — the public entry point.
+
+TPU-native re-design of the reference's ~1,000-line monolithic
+``matrix_completion_branchandbound``
+(`/root/reference/src/OptimalMatrixCompletion.jl:140-1146`).  The serial
+node loop becomes a *batched super-step* loop: up to ``batch_size`` frontier
+nodes are popped per step (same four selection policies), relaxed
+simultaneously by one jitted batched PDHG program, certified host-side in
+float64, then expanded / pruned.  Alternating-minimisation upper bounds and
+the eigenvector separation oracle run batched on device as well.
+
+Soundness notes (differences from the reference, all conservative):
+
+- Lower bounds are safe Lagrangian dual bounds (valid at any PDHG
+  accuracy), taken monotone down the tree via max(parent LB, computed LB).
+- A node whose relaxation solution is master-feasible
+  (lambda_min(UU' - Y) >= -1e-6, reference line 1274) is *rounded* to an
+  exactly-evaluated rank-k incumbent (orthonormal U + closed-form V-step)
+  instead of trusting the relaxation objective as an upper bound; the node
+  is closed only if its local gap is within the target, and its certified
+  LB caps the reported global lower bound thereafter (tree.closed_lb_floor).
+- The 11-category node census (reference lines 411-454) is maintained with
+  identical keys.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from omc.altmin import make_altmin
+from omc.branch import (
+    create_matrix_cut_child_nodes,
+    create_mccormick_child_nodes,
+)
+from omc.config import SolverConfig
+from omc.problem import compute_MSE, evaluate_objective
+from omc.sdp.cuts import region_bounds
+from omc.sdp.relax import NodeBatch, host_certified_bound, init_state, make_solver
+from omc.sdp import shor as shor_mod
+from omc.tree import BBNode, BBTree, ShorInfo, compute_gap, root_box
+from omc.utils.logging import UPDATE_HEADER, add_message, update_row
+
+_L_BUCKETS = (8, 32, 128, 512, 2048)
+
+
+def _l_bucket(need: int) -> int:
+    for b in _L_BUCKETS:
+        if need <= b:
+            return b
+    raise ValueError(f"cut count {need} exceeds the largest supported bucket")
+
+
+def _pack_batch(nodes: List[BBNode], B: int, L: int, n: int, k: int,
+                cuts_type: Optional[str], dtype) -> NodeBatch:
+    cut_x = np.zeros((B, L, n), dtype=dtype)
+    cut_lo = np.zeros((B, L, k), dtype=dtype)
+    cut_hi = np.zeros((B, L, k), dtype=dtype)
+    cut_mask = np.zeros((B, L), dtype=dtype)
+    U_lo = np.zeros((B, n, k), dtype=dtype)
+    U_hi = np.zeros((B, n, k), dtype=dtype)
+    for i, node in enumerate(nodes):
+        U_lo[i] = node.U_lower
+        U_hi[i] = node.U_upper
+        if node.cuts:
+            for l, cut in enumerate(node.cuts):
+                cut_x[i, l] = cut.x
+                lo, hi = region_bounds(cuts_type, cut.code, cut.vhat)
+                cut_lo[i, l] = lo
+                cut_hi[i, l] = hi
+                cut_mask[i, l] = 1.0
+    return NodeBatch(
+        cut_x=jnp.asarray(cut_x), cut_lo=jnp.asarray(cut_lo),
+        cut_hi=jnp.asarray(cut_hi), cut_mask=jnp.asarray(cut_mask),
+        U_lo=jnp.asarray(U_lo), U_hi=jnp.asarray(U_hi),
+    )
+
+
+def _round_to_incumbent(Y, A, mask, gamma, k):
+    """Orthonormal U from top-k eigenvectors of Y + exact closed-form V-step
+    -> (objective, X, U) with objective a *valid* rank-k upper bound."""
+    Y = np.asarray(Y, dtype=np.float64)
+    w, V = np.linalg.eigh(0.5 * (Y + Y.T))
+    U = V[:, ::-1][:, :k]  # top-k eigvecs
+    G = np.einsum("nk,nm,nl->mkl", U, mask, U) + (1.0 / gamma) * (U.T @ U)[None]
+    G += 1e-12 * np.eye(k)[None]
+    rhs = (U.T @ (mask * A)).T
+    Vv = np.linalg.solve(G, rhs[..., None])[..., 0]  # (m, k)
+    X = U @ Vv.T
+    obj = float(evaluate_objective(X, A, mask, U, gamma))
+    return obj, X, U
+
+
+def _decayed_probability(depth, max_p, min_p, decay):
+    if depth > np.log(max_p / min_p) / np.log(decay):
+        return min_p
+    return max_p / (decay**depth)
+
+
+def matrix_completion_branchandbound(
+    k: int,
+    A: np.ndarray,
+    indices: np.ndarray,
+    gamma: float,
+    **kwargs,
+):
+    """Complete matrix ``A`` (observed mask ``indices``) with a rank-``k``
+    matrix to certified optimality.  Returns ``(solution, printlist,
+    instance)`` with the same field contract as the reference (README.md
+    "Quick start" section of the reference repo)."""
+    cfg = SolverConfig(**kwargs)
+
+    A = np.asarray(A, dtype=np.float64)
+    indices = np.asarray(indices)
+    if A.shape != indices.shape:
+        raise ValueError(
+            "Dimension mismatch. Input matrix A must have size (n, m); "
+            "input matrix indices must have size (n, m)."
+        )
+    n, m = A.shape
+    if not n <= m:
+        raise ValueError(
+            f"Input matrix A must have size (n, m) with n <= m. Current size is {A.shape}."
+        )
+    if not cfg.use_disjunctive_cuts:
+        raise NotImplementedError(
+            "McCormick path (use_disjunctive_cuts=False) lands in a later increment."
+        )
+    if cfg.add_Shor_valid_inequalities:
+        raise NotImplementedError(
+            "Shor valid inequalities land in a later increment."
+        )
+
+    mask = indices.astype(np.float64)
+    rng = np.random.default_rng(cfg.seed)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    np_dtype = np.float64 if cfg.dtype == "float64" else np.float32
+    verbosity = cfg.verbosity
+
+    printlist: List[str] = []
+    start_time = time.time()
+    echo = verbosity >= 1
+    add_message(printlist, [
+        "Starting branch-and-bound on a matrix completion problem.\n",
+        f"k:                                              {k:15d}\n",
+        f"m:                                              {m:15d}\n",
+        f"n:                                              {n:15d}\n",
+        f"num_indices:                                    {int(indices.sum()):15d}\n",
+        f"gamma:                                          {gamma:15g}\n",
+        "\n",
+        f"Node selection:                                 {cfg.node_selection:>15s}\n",
+        f"Optimality gap:                                 {cfg.gap:15g}\n",
+        f"Use disjunctive cuts?:                          {str(cfg.use_disjunctive_cuts):>15s}\n",
+        f"Disjunctive cuts type:                          {str(cfg.disjunctive_cuts_type):>15s}\n",
+        f"Disjunction breakpoints:                        {str(cfg.disjunctive_cuts_breakpoints):>15s}\n",
+        f"Time limit (s):                                 {cfg.time_limit:15d}\n",
+        f"Batch size (TPU):                               {cfg.batch_size:15d}\n",
+        f"PDHG iterations (TPU):                          {cfg.sdp_iters:15d}\n",
+    ], echo=echo)
+
+    run_log: List[dict] = []
+    solve_time_altmin = 0.0
+    solve_time_relaxation = 0.0
+    solve_time_relaxation_feasibility = 0.0
+    dict_solve_times_altmin: List[dict] = []
+    dict_num_iterations_altmin: List[dict] = []
+    dict_solve_times_relaxation: List[dict] = []
+
+    census = {
+        "nodes_dominated": 0,
+        "nodes_relax_infeasible": 0,
+        "nodes_relax_feasible": 0,
+        "nodes_relax_feasible_pruned": 0,
+        "nodes_master_feasible": 0,
+        "nodes_master_feasible_improvement": 0,
+        "nodes_relax_feasible_split": 0,
+        "nodes_relax_feasible_split_altmin": 0,
+        "nodes_relax_feasible_split_altmin_improvement": 0,
+    }
+
+    A_dev = jnp.asarray(A, dtype=dtype)
+    mask_dev = jnp.asarray(mask, dtype=dtype)
+
+    # ------------------------------------------------------------------
+    # Root alternating-minimisation warm start (reference lines 521-601)
+    # ------------------------------------------------------------------
+    altmin_start = time.time()
+    U_base = np.linalg.svd(A * mask, full_matrices=False)[0][:, :k]
+    sc = float(np.max(np.abs(U_base)))
+    n_runs = cfg.altmin_root_n_iters
+    U_inits = np.stack(
+        [U_base] + [U_base + sc * rng.standard_normal((n, k)) for _ in range(n_runs - 1)]
+    )
+    root_lo, root_hi = root_box(n, k)
+    altmin_root = make_altmin(
+        n, m, k, gamma, max_iters=cfg.altmin_max_iters, tol=cfg.altmin_tol, dtype=dtype
+    )
+    lo_b = jnp.broadcast_to(jnp.asarray(root_lo, dtype=dtype), (n_runs, n, k))
+    hi_b = jnp.broadcast_to(jnp.asarray(root_hi, dtype=dtype), (n_runs, n, k))
+    res = altmin_root(A_dev, mask_dev, jnp.asarray(U_inits, dtype=dtype), lo_b, hi_b)
+    res_U = np.asarray(res.U, dtype=np.float64)
+    res_V = np.asarray(res.V, dtype=np.float64)
+    t_root_altmin = time.time() - altmin_start
+    solve_time_altmin += t_root_altmin
+    dict_solve_times_altmin.append({"node_id": 0, "depth": 0, "solve_time": t_root_altmin})
+
+    best_obj, best_ind = np.inf, 0
+    X_candidates = []
+    for i in range(n_runs):
+        X_i = res_U[i] @ res_V[i]
+        X_candidates.append(X_i)
+        U_i = np.linalg.svd(X_i, full_matrices=False)[0][:, :k]
+        obj_i = float(evaluate_objective(X_i, A, mask, U_i, gamma))
+        if obj_i < best_obj:
+            best_obj, best_ind = obj_i, i
+        add_message(printlist, [
+            "Altmin run %02d: \t Objective %e in %3.3f s.\n"
+            % (i + 1, obj_i, time.time() - altmin_start)
+        ], echo=echo)
+
+    X_initial = X_candidates[best_ind]
+    U_initial = np.linalg.svd(X_initial, full_matrices=False)[0][:, :k]
+    Y_initial = U_initial @ U_initial.T
+    objective_initial = float(evaluate_objective(X_initial, A, mask, U_initial, gamma))
+    MSE_in_initial = float(compute_MSE(X_initial, A, mask, kind="in"))
+    MSE_out_initial = float(compute_MSE(X_initial, A, mask, kind="out"))
+    MSE_all_initial = float(compute_MSE(X_initial, A, mask, kind="all"))
+    objective_initial_time_found = time.time() - start_time
+
+    solution: Dict = {
+        "objective_initial": objective_initial,
+        "objective_initial_time_found": objective_initial_time_found,
+        "MSE_in_initial": MSE_in_initial,
+        "MSE_out_initial": MSE_out_initial,
+        "MSE_all_initial": MSE_all_initial,
+        "Y_initial": Y_initial,
+        "U_initial": U_initial,
+        "X_initial": X_initial,
+        "objective": objective_initial,
+        "objective_time_found": objective_initial_time_found,
+        "MSE_in": MSE_in_initial,
+        "MSE_out": MSE_out_initial,
+        "MSE_all": MSE_all_initial,
+        "Y": Y_initial,
+        "U": U_initial,
+        "X": X_initial,
+    }
+
+    def update_solution(obj, Y, U, X, t_found):
+        solution["objective"] = obj
+        solution["objective_time_found"] = t_found
+        solution["Y"] = np.array(Y)
+        solution["U"] = np.array(U)
+        solution["X"] = np.array(X)
+
+    # ------------------------------------------------------------------
+    # Tree initialisation (reference lines 626-698)
+    # ------------------------------------------------------------------
+    root_shor = None
+    root = BBNode(
+        node_id=1, parent_id=0, U_lower=root_lo, U_upper=root_hi,
+        LB=-np.inf, depth=0, cuts=[], Shor_info=root_shor,
+    )
+    tree = BBTree(root, best_upper_bound=objective_initial)
+
+    add_message(printlist, UPDATE_HEADER, echo=echo)
+
+    def add_update(altmin_flag=False, echo_row=True):
+        tree.now_gap = compute_gap(tree.best_lower_bound, tree.best_upper_bound)
+        msg = update_row(tree, time.time() - start_time, altmin_flag=altmin_flag)
+        add_message(printlist, msg, echo=echo and echo_row)
+        run_log.append({
+            "explored": tree.nodes_explored, "total": tree.counter,
+            "remaining": tree.nodes_remaining,
+            "lower": tree.best_lower_bound, "upper": tree.best_upper_bound,
+            "gap": tree.now_gap, "runtime": time.time() - start_time,
+        })
+        tree.last_updated_counter = tree.counter
+
+    # jitted program caches, keyed by the cut-capacity bucket
+    solvers: Dict[int, object] = {}
+    altmin_node_fn = None
+    B = cfg.batch_size
+    root_node_timeout = False
+
+    def get_solver(L):
+        if L not in solvers:
+            solvers[L] = make_solver(
+                n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype
+            )
+        return solvers[L]
+
+    # ------------------------------------------------------------------
+    # Main batched branch-and-bound loop (reference lines 700-1073)
+    # ------------------------------------------------------------------
+    while (
+        tree.now_gap > cfg.gap
+        and not (cfg.use_max_steps and tree.counter >= cfg.max_steps)
+        and time.time() - start_time <= cfg.time_limit
+    ):
+        if len(tree) == 0:
+            break
+
+        popped = tree.retrieve_batch(
+            cfg.node_selection, B, cfg.bestfirst_depthfirst_cutoff
+        )
+        if not popped:
+            break
+
+        # dominance pre-check (reference lines 725-728)
+        work: List[BBNode] = []
+        for node in popped:
+            if node.LB > tree.best_upper_bound:
+                census["nodes_dominated"] += 1
+            else:
+                work.append(node)
+        if not work:
+            tree.update_lower_bound()
+            add_update(echo_row=False)
+            continue
+
+        L_need = max(1, max(len(nd.cuts) for nd in work))
+        L = _l_bucket(L_need)
+        batch = _pack_batch(work, B, L, n, k, cfg.disjunctive_cuts_type, np_dtype)
+        ub_bar = tree.best_upper_bound * (1.0 + 1e-9) + 1e-9
+
+        t0 = time.time()
+        state0 = init_state(B, n, m, k, L, dtype=dtype)
+        _, out = get_solver(L)(A_dev, mask_dev, batch, ub_bar, state0)
+        out = {key: np.asarray(val) for key, val in out.items()}
+        lbs = host_certified_bound(A, mask, batch, out, gamma, k, ub_bar)
+        t_relax = time.time() - t0
+        solve_time_relaxation += t_relax
+
+        altmin_marked: List[int] = []  # indices into `work`
+        split_nodes: List[int] = []
+
+        for i, node in enumerate(work):
+            lb_i = max(node.LB, float(lbs[i]))
+            node.LB = lb_i
+            census["nodes_relax_feasible"] += 1
+            dict_solve_times_relaxation.append({
+                "node_id": node.node_id, "depth": node.depth,
+                "solve_time": t_relax / max(len(work), 1),
+            })
+            if node.node_id == 1:
+                tree.best_lower_bound = max(tree.best_lower_bound, lb_i)
+
+            if lb_i > tree.best_upper_bound:
+                census["nodes_relax_feasible_pruned"] += 1
+                continue
+
+            master_feasible = bool(out["sep_w"][i, 0] >= -1e-6)
+            if master_feasible:
+                node.master_feasible = True
+                census["nodes_master_feasible"] += 1
+                obj_r, X_r, U_r = _round_to_incumbent(out["Y"][i], A, mask, gamma, k)
+                if obj_r < tree.best_upper_bound:
+                    census["nodes_master_feasible_improvement"] += 1
+                    tree.best_upper_bound = obj_r
+                    update_solution(obj_r, U_r @ U_r.T, U_r, X_r, time.time() - start_time)
+                    add_update()
+                # close the node if its local gap is within target; its LB
+                # then caps the reported global lower bound (soundness: any
+                # master point in this region has objective >= lb_i >=
+                # obj_r / (1 + gap))
+                if obj_r <= lb_i * (1.0 + cfg.gap) or lb_i >= tree.best_upper_bound:
+                    tree.closed_lb_floor = min(tree.closed_lb_floor, lb_i)
+                    continue
+
+            # altmin probability gating (reference lines 856-870)
+            if cfg.altmin_flag:
+                p = _decayed_probability(
+                    node.depth, cfg.max_altmin_probability,
+                    cfg.min_altmin_probability, cfg.altmin_probability_decay_rate,
+                )
+                if rng.random() < p:
+                    altmin_marked.append(i)
+            split_nodes.append(i)
+
+        # ---- batched altmin heuristic at marked nodes ----
+        if altmin_marked:
+            t0 = time.time()
+            if altmin_node_fn is None:
+                altmin_node_fn = make_altmin(
+                    n, m, k, gamma, max_iters=cfg.altmin_max_iters,
+                    tol=cfg.altmin_tol, dtype=dtype,
+                )
+            Bm = len(altmin_marked)
+            U_init_m = np.zeros((Bm, n, k), dtype=np.float64)
+            for j, i in enumerate(altmin_marked):
+                Yi = out["Y"][i].astype(np.float64)
+                w, V = np.linalg.eigh(0.5 * (Yi + Yi.T))
+                U_init_m[j] = V[:, ::-1][:, :k]
+            lo_m = jnp.broadcast_to(jnp.asarray(root_lo, dtype=dtype), (Bm, n, k))
+            hi_m = jnp.broadcast_to(jnp.asarray(root_hi, dtype=dtype), (Bm, n, k))
+            am = altmin_node_fn(
+                A_dev, mask_dev, jnp.asarray(U_init_m, dtype=dtype), lo_m, hi_m
+            )
+            am_U = np.asarray(am.U, dtype=np.float64)
+            am_V = np.asarray(am.V, dtype=np.float64)
+            am_conv = np.asarray(am.converged)
+            am_iters = np.asarray(am.n_iters)
+            t_alt = time.time() - t0
+            solve_time_altmin += t_alt
+            for j, i in enumerate(altmin_marked):
+                node = work[i]
+                census["nodes_relax_feasible_split_altmin"] += 1
+                dict_solve_times_altmin.append({
+                    "node_id": node.node_id, "depth": node.depth,
+                    "solve_time": t_alt / Bm,
+                })
+                dict_num_iterations_altmin.append({
+                    "node_id": node.node_id, "depth": node.depth,
+                    "n_iters": int(am_iters[j]),
+                })
+                if am_conv[j]:
+                    X_local = am_U[j] @ am_V[j]
+                    U_local = np.linalg.svd(X_local, full_matrices=False)[0][:, :k]
+                    obj_local = float(evaluate_objective(X_local, A, mask, U_local, gamma))
+                    if obj_local < tree.best_upper_bound:
+                        census["nodes_relax_feasible_split_altmin_improvement"] += 1
+                        tree.best_upper_bound = obj_local
+                        update_solution(
+                            obj_local, U_local @ U_local.T, U_local, X_local,
+                            time.time() - start_time,
+                        )
+                        add_update(altmin_flag=True)
+
+        # ---- branching (reference lines 951-1031) ----
+        had_root = any(nd.node_id == 1 for nd in work)
+        if not cfg.root_only:
+            for i in split_nodes:
+                node = work[i]
+                census["nodes_relax_feasible_split"] += 1
+                children = create_matrix_cut_child_nodes(
+                    node,
+                    cfg.disjunctive_cuts_type,
+                    cfg.disjunctive_cuts_breakpoints,
+                    sep_w=out["sep_w"][i],
+                    sep_V=out["sep_V"][i],
+                    U_relax=out["U"][i],
+                    counter=tree.counter,
+                    objective_relax=node.LB,
+                )
+                tree.add_nodes(children, node.LB)
+
+        tree.prune_dominated()
+        lower_bounds_updated = tree.update_lower_bound()
+        tree.now_gap = compute_gap(tree.best_lower_bound, tree.best_upper_bound)
+
+        print_now = (
+            lower_bounds_updated
+            or had_root
+            or (tree.counter // cfg.update_step) > (tree.last_updated_counter // cfg.update_step)
+            or tree.now_gap <= cfg.gap
+            or (cfg.use_max_steps and tree.counter >= cfg.max_steps)
+            or time.time() - start_time > cfg.time_limit
+        )
+        add_update(echo_row=print_now if verbosity >= 1 else verbosity >= 3)
+
+        if cfg.root_only:
+            break
+
+    end_time = time.time()
+    time_taken = end_time - start_time
+
+    solution["MSE_in"] = float(compute_MSE(solution["X"], A, mask, kind="in"))
+    solution["MSE_out"] = float(compute_MSE(solution["X"], A, mask, kind="out"))
+    solution["MSE_all"] = float(compute_MSE(solution["X"], A, mask, kind="all"))
+
+    run_details = OrderedDict(
+        [
+            ("k", k), ("m", m), ("n", n), ("A", A), ("indices", indices),
+            ("num_indices", int(indices.sum())), ("gamma", gamma),
+        ]
+    )
+    run_details.update(cfg.run_details_params())
+    run_details.update(
+        {
+            "log_time": start_time,
+            "start_time": start_time,
+            "end_time": end_time,
+            "time_taken": time_taken,
+            "solve_time_altmin": solve_time_altmin,
+            "dict_solve_times_altmin": dict_solve_times_altmin,
+            "dict_num_iterations_altmin": dict_num_iterations_altmin,
+            "solve_time_relaxation_feasibility": solve_time_relaxation_feasibility,
+            "solve_time_relaxation": solve_time_relaxation,
+            "dict_solve_times_relaxation": dict_solve_times_relaxation,
+            "root_node_timeout": root_node_timeout,
+            "nodes_explored": tree.nodes_explored,
+            "nodes_total": tree.counter,
+        }
+    )
+    run_details.update(census)
+
+    instance = {"run_log": run_log, "run_details": run_details}
+
+    add_message(printlist, [
+        "\n\nRun details:\n",
+        f"nodes_explored: {tree.nodes_explored:10d}\n",
+        f"nodes_total:    {tree.counter:10d}\n",
+        f"time_taken:     {time_taken:10.3f}\n",
+        "\n--------------------------------\n",
+        "\n\nInitial solution (warm start):\n%s" % repr(objective_initial),
+        "\n\nBest incumbent solution:\n%s" % repr(solution["objective"]),
+        "\n\nFinal gap:\n%s\n" % repr(tree.now_gap),
+    ], echo=echo)
+
+    return solution, printlist, instance
