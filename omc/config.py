@@ -54,7 +54,11 @@ class SolverConfig:
 
     # --- TPU-native additions ---
     batch_size: int = 64  # nodes relaxed simultaneously per device step
-    sdp_iters: int = 400  # PDHG iterations per relaxation super-step
+    sdp_method: str = "admm"  # "admm" (production) | "pdhg" (reference)
+    sdp_iters: int = 400  # solver iterations per relaxation super-step
+    sdp_omega: float = 3.0  # PDHG primal/dual step balance
+    sdp_rho: float = 1.0  # ADMM penalty parameter
+    sdp_alpha: float = 1.6  # ADMM over-relaxation
     sdp_warm_start: bool = True  # warm-start children from parent duals
     altmin_max_iters: int = 100  # matches reference altmin max_iters (line 2000)
     altmin_tol: float = 1e-5  # matches reference eps (line 1998)

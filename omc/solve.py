@@ -41,7 +41,15 @@ from omc.branch import (
 from omc.config import SolverConfig
 from omc.problem import compute_MSE, evaluate_objective
 from omc.sdp.cuts import region_bounds
-from omc.sdp.relax import NodeBatch, host_certified_bound, init_state, make_solver
+from omc.sdp.admm import init_admm_state, make_admm_solver
+from omc.sdp.relax import (
+    NodeBatch,
+    assemble_warm_state,
+    host_certified_bound,
+    init_state,
+    make_solver,
+    state_slice_to_host,
+)
 from omc.sdp import shor as shor_mod
 from omc.tree import BBNode, BBTree, ShorInfo, compute_gap, root_box
 from omc.utils.logging import UPDATE_HEADER, add_message, update_row
@@ -288,12 +296,54 @@ def matrix_completion_branchandbound(
     B = cfg.batch_size
     root_node_timeout = False
 
+    # block variable scales for PDHG conditioning (see omc/sdp/relax.py);
+    # chosen once from the data and the root upper bound
+    sX = max(1.0, float(np.max(np.abs(A))))
+    sT = max(1.0, 2.0 * gamma * objective_initial / (4.0 * m))
+
     def get_solver(L):
         if L not in solvers:
-            solvers[L] = make_solver(
-                n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype
-            )
+            if cfg.sdp_method == "admm":
+                solvers[L] = make_admm_solver(
+                    n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype,
+                    rho=cfg.sdp_rho, alpha=cfg.sdp_alpha, sX=sX, sT=sT,
+                )
+            else:
+                solvers[L] = make_solver(
+                    n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype,
+                    omega=cfg.sdp_omega, sX=sX, sT=sT,
+                )
         return solvers[L]
+
+    # Warm-start cache: node_id -> compressed host solver-state slice.  A
+    # child's relaxation differs from its parent's by one cut, so starting
+    # from the parent's primal/dual state lets solver accuracy accumulate
+    # down the tree instead of restarting from zero at every node.
+    state_cache: "OrderedDict[int, dict]" = OrderedDict()
+    state_cache_max = 2048
+
+    def _cache_put(node_id, sl):
+        state_cache[node_id] = sl
+        state_cache.move_to_end(node_id)
+        while len(state_cache) > state_cache_max:
+            state_cache.popitem(last=False)
+
+    def _template(L):
+        """Fallback state: the incumbent primal (feasible for every node's
+        core cones), zero duals."""
+        U0 = solution["U"]
+        X0 = solution["X"]
+        V0 = U0.T @ X0
+        kw = dict(X0=X0[None], Y0=(U0 @ U0.T)[None],
+                  Th0=(V0.T @ V0)[None], U0=U0[None])
+        if cfg.sdp_method == "admm":
+            return init_admm_state(B, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
+        return init_state(B, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
+
+    def warm_state(nodes: List[BBNode], L):
+        slices = [state_cache.get(nd.parent_id) for nd in nodes]
+        slices += [None] * (B - len(nodes))
+        return assemble_warm_state(_template(L), slices)
 
     # ------------------------------------------------------------------
     # Main batched branch-and-bound loop (reference lines 700-1073)
@@ -330,8 +380,8 @@ def matrix_completion_branchandbound(
         ub_bar = tree.best_upper_bound * (1.0 + 1e-9) + 1e-9
 
         t0 = time.time()
-        state0 = init_state(B, n, m, k, L, dtype=dtype)
-        _, out = get_solver(L)(A_dev, mask_dev, batch, ub_bar, state0)
+        state0 = warm_state(work, L)
+        fin_state, out = get_solver(L)(A_dev, mask_dev, batch, ub_bar, state0)
         out = {key: np.asarray(val) for key, val in out.items()}
         lbs = host_certified_bound(A, mask, batch, out, gamma, k, ub_bar)
         t_relax = time.time() - t0
@@ -438,6 +488,7 @@ def matrix_completion_branchandbound(
             for i in split_nodes:
                 node = work[i]
                 census["nodes_relax_feasible_split"] += 1
+                _cache_put(node.node_id, state_slice_to_host(fin_state, i))
                 children = create_matrix_cut_child_nodes(
                     node,
                     cfg.disjunctive_cuts_type,
