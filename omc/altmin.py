@@ -44,12 +44,18 @@ def _objective(U, V, A, mask, gamma):
 
 
 def _project_U(U, U_lo, U_hi):
-    """Project onto box then scale columns into the unit ball.
+    """Cap column norms at 1 (the V-step re-balances scales, so this never
+    degrades the objective in the scale-invariant (U, V) parametrisation).
 
-    Exact for the disjunctive-cuts path where the box always contains 0
-    (root symmetry-breaking box, reference lines 626-631, inherited
-    unchanged by disjunctive children, line 2526)."""
-    U = jnp.clip(U, U_lo, U_hi)
+    Deviation from the reference: the box (and cut-interval) constraints in
+    the reference's altmin model keep the search inside the node's region —
+    a locality heuristic.  Clipping to the symmetry-breaking box here can
+    destroy solutions whose natural sign pattern is mirrored (U -> -U is
+    objective-invariant but the clip is not), so we deliberately drop the
+    box; upper-bound *validity* needs only rank(UV) <= k, and incumbents
+    are re-orthonormalised by SVD exactly as the reference does
+    (reference lines 920-927)."""
+    del U_lo, U_hi
     nrm = jnp.linalg.norm(U, axis=-2, keepdims=True)
     return U * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-30))
 

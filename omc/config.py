@@ -57,8 +57,13 @@ class SolverConfig:
     sdp_method: str = "admm"  # "admm" (production) | "pdhg" (reference)
     sdp_iters: int = 400  # solver iterations per relaxation super-step
     sdp_omega: float = 3.0  # PDHG primal/dual step balance
-    sdp_rho: float = 1.0  # ADMM penalty parameter
+    sdp_rho: float = 0.03  # ADMM penalty parameter
     sdp_alpha: float = 1.6  # ADMM over-relaxation
+    # bound refinement: requeue a node (continuing from its own solver
+    # state) instead of splitting while one more solve could close more
+    # than refine_frac of the remaining local gap, up to max_refines visits
+    refine_frac: float = 0.25
+    max_refines: int = 4
     sdp_warm_start: bool = True  # warm-start children from parent duals
     altmin_max_iters: int = 100  # matches reference altmin max_iters (line 2000)
     altmin_tol: float = 1e-5  # matches reference eps (line 1998)

@@ -341,7 +341,11 @@ def matrix_completion_branchandbound(
         return init_state(B, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
 
     def warm_state(nodes: List[BBNode], L):
-        slices = [state_cache.get(nd.parent_id) for nd in nodes]
+        # own state (refinement visits) takes precedence over the parent's
+        slices = [
+            state_cache.get(nd.node_id) or state_cache.get(nd.parent_id)
+            for nd in nodes
+        ]
         slices += [None] * (B - len(nodes))
         return assemble_warm_state(_template(L), slices)
 
@@ -391,6 +395,7 @@ def matrix_completion_branchandbound(
         split_nodes: List[int] = []
 
         for i, node in enumerate(work):
+            lb_prev = node.LB
             lb_i = max(node.LB, float(lbs[i]))
             node.LB = lb_i
             census["nodes_relax_feasible"] += 1
@@ -422,6 +427,20 @@ def matrix_completion_branchandbound(
                 if obj_r <= lb_i * (1.0 + cfg.gap) or lb_i >= tree.best_upper_bound:
                     tree.closed_lb_floor = min(tree.closed_lb_floor, lb_i)
                     continue
+
+            # bound refinement: while one more solve could close more than
+            # refine_frac of the remaining local gap, requeue this node to
+            # continue from its own solver state rather than splitting
+            improvement = lb_i - lb_prev if np.isfinite(lb_prev) else np.inf
+            local_gap = max(tree.best_upper_bound - lb_i, 0.0)
+            if (
+                node.refines < cfg.max_refines
+                and improvement > cfg.refine_frac * local_gap
+            ):
+                node.refines += 1
+                _cache_put(node.node_id, state_slice_to_host(fin_state, i))
+                tree.requeue(node, lb_i)
+                continue
 
             # altmin probability gating (reference lines 856-870)
             if cfg.altmin_flag:

@@ -55,6 +55,7 @@ class BBNode:
     master_feasible: bool = False
     cuts: Optional[List[DisjunctiveCut]] = None  # None => McCormick path
     Shor_info: Optional[ShorInfo] = None
+    refines: int = 0  # bound-refinement visits (TPU-native, see BBTree.requeue)
 
 
 class BBTree:
@@ -128,6 +129,17 @@ class BBTree:
             self.nodes_explored += 1
             out.append(node)
         return out
+
+    def requeue(self, node: BBNode, lb: float):
+        """Re-insert a node whose bound is still being refined (it keeps its
+        node_id; its relaxation continues from its own warm-start state).
+        TPU-native addition — the reference solves each node relaxation
+        exactly once because Mosek solves to high accuracy; a first-order
+        solver instead refines across visits."""
+        self.nodes[node.node_id] = node
+        self._fifo.append(node.node_id)
+        self._heap_lb[node.node_id] = lb
+        heapq.heappush(self._heap, (lb, node.node_id))
 
     def add_nodes(self, children: List[BBNode], parent_objective: float):
         """Bulk-insert children; PQ priority is the parent's relaxation

@@ -1,0 +1,113 @@
+"""Tests for batched alternating minimisation and the B&B tree engine."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from omc.altmin import make_altmin
+from omc.data import generate_matrix_completion_data
+from omc.ops.linalg import u_step_unconstrained, v_step
+from omc.problem import evaluate_objective
+from omc.tree import BBNode, BBTree, compute_gap, root_box
+
+
+def test_v_step_optimality():
+    rng = np.random.default_rng(0)
+    n, m, k, gamma = 6, 8, 2, 10.0
+    U = rng.standard_normal((n, k))
+    A = rng.standard_normal((n, m))
+    mask = (rng.random((n, m)) < 0.6).astype(np.float64)
+    V = np.asarray(v_step(jnp.asarray(U), jnp.asarray(A), jnp.asarray(mask), gamma))
+    # stationarity: U' diag(w_j) (U v_j - a_j) + (1/gamma) U'U v_j = 0
+    for j in range(m):
+        D = np.diag(mask[:, j])
+        g = U.T @ D @ (U @ V[:, j] - A[:, j]) + (1 / gamma) * U.T @ U @ V[:, j]
+        assert np.linalg.norm(g) < 1e-6
+
+
+def test_u_step_optimality():
+    rng = np.random.default_rng(1)
+    n, m, k, gamma = 6, 8, 2, 10.0
+    V = rng.standard_normal((k, m))
+    A = rng.standard_normal((n, m))
+    mask = (rng.random((n, m)) < 0.6).astype(np.float64)
+    U = np.asarray(
+        u_step_unconstrained(jnp.asarray(V), jnp.asarray(A), jnp.asarray(mask), gamma)
+    )
+    for i in range(n):
+        D = np.diag(mask[i, :])
+        g = V @ D @ (V.T @ U[i] - A[i]) + (1 / gamma) * V @ V.T @ U[i]
+        assert np.linalg.norm(g) < 1e-6
+
+
+def test_altmin_improves_objective():
+    n = m = 10
+    k, gamma = 1, 20.0
+    A, idx = generate_matrix_completion_data(k, n, m, 60, seed=0)
+    mask = idx.astype(np.float64)
+    U0 = np.linalg.svd(A * mask, full_matrices=False)[0][:, :k]
+    lo, hi = root_box(n, k)
+    am = make_altmin(n, m, k, gamma, dtype=jnp.float64)
+    res = am(jnp.asarray(A), jnp.asarray(mask), jnp.asarray(U0[None]),
+             jnp.asarray(lo[None]), jnp.asarray(hi[None]))
+    X = np.asarray(res.U[0]) @ np.asarray(res.V[0])
+    obj = float(evaluate_objective(X, A, mask, U0, gamma))
+    obj0 = float(evaluate_objective(np.zeros_like(A), A, mask, U0, gamma))
+    assert obj < obj0
+    assert bool(res.converged[0])
+    assert int(res.n_iters[0]) <= 100
+
+
+def _mk_node(nid, parent, lb, depth=0):
+    lo, hi = root_box(4, 1)
+    return BBNode(node_id=nid, parent_id=parent, U_lower=lo, U_upper=hi,
+                  LB=lb, depth=depth, cuts=[])
+
+
+def test_tree_policies():
+    root = _mk_node(1, 0, -np.inf)
+    tree = BBTree(root, best_upper_bound=10.0)
+    tree.retrieve_batch("bestfirst", 1)
+    tree.add_nodes([_mk_node(2, 1, 5.0), _mk_node(3, 1, 5.0)], 5.0)
+    tree.add_nodes([_mk_node(4, 2, 7.0), _mk_node(5, 2, 3.0)], 3.0)
+    # bestfirst pops lowest queued LB first (nodes 4,5 queued at 3.0)
+    got = tree.retrieve_batch("bestfirst", 2)
+    assert {nd.node_id for nd in got} == {4, 5}
+    # breadthfirst pops oldest remaining
+    got = tree.retrieve_batch("breadthfirst", 1)
+    assert got[0].node_id == 2
+    # depthfirst pops newest remaining
+    tree.add_nodes([_mk_node(6, 3, 8.0)], 8.0)
+    got = tree.retrieve_batch("depthfirst", 1)
+    assert got[0].node_id == 6
+
+
+def test_prune_and_lower_bound():
+    root = _mk_node(1, 0, -np.inf)
+    tree = BBTree(root, best_upper_bound=4.0)
+    tree.retrieve_batch("bestfirst", 1)
+    tree.add_nodes([_mk_node(2, 1, 3.0)], 3.0)
+    tree.add_nodes([_mk_node(3, 1, 5.0)], 5.0)  # dominated (5 > UB 4)
+    tree.prune_dominated()
+    assert 3 not in tree.nodes and 2 in tree.nodes
+    assert tree.update_lower_bound()
+    assert tree.best_lower_bound == 3.0
+    # emptying the tree closes the gap to the incumbent
+    tree.retrieve_batch("bestfirst", 1)
+    tree.update_lower_bound()
+    assert tree.best_lower_bound == 4.0
+
+
+def test_compute_gap_conventions():
+    assert compute_gap(-1.0, 5.0) == np.inf
+    assert compute_gap(2.0, 2.0) == 0.0
+    assert compute_gap(2.0, 3.0) == pytest.approx(0.5)
+
+
+def test_root_box_symmetry_breaking():
+    lo, hi = root_box(5, 2)
+    assert np.all(hi == 1.0)
+    assert np.all(lo[3:, 0] == 0.0)
+    assert np.all(lo[4:, 1] == 0.0)
+    assert lo[0, 0] == -1.0

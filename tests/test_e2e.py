@@ -1,0 +1,84 @@
+"""End-to-end branch-and-bound integration tests (SURVEY.md section 4:
+the reference gives correctness oracles; the end-to-end oracle is a
+certified gap plus an incumbent matching the best-known solution)."""
+
+import numpy as np
+import pytest
+
+from omc.data import generate_matrix_completion_data
+from omc.solve import matrix_completion_branchandbound
+
+
+@pytest.fixture(scope="module")
+def small_instance():
+    n = m = 12
+    k = 1
+    A, idx = generate_matrix_completion_data(k, n, m, int(0.5 * n * m), seed=3)
+    return A, idx
+
+
+def test_bnb_certifies_small_instance(small_instance):
+    A, idx = small_instance
+    gamma = 80.0
+    sol, printlist, inst = matrix_completion_branchandbound(
+        1, A, idx, gamma,
+        node_selection="bestfirst",
+        disjunctive_cuts_type="linear",
+        disjunctive_cuts_breakpoints="smallest_1_eigvec",
+        gap=1e-3,
+        batch_size=4,
+        sdp_iters=1500,
+        sdp_rho=0.03,
+        dtype="float64",
+        time_limit=120,
+        verbosity=0,
+    )
+    rd = inst["run_details"]
+    log = inst["run_log"]
+    assert log[-1]["gap"] <= 1e-3
+    # incumbent is a valid rank-1 completion and beats the warm start or ties
+    assert sol["objective"] <= sol["objective_initial"] + 1e-12
+    assert np.linalg.matrix_rank(sol["X"], tol=1e-6) <= 1
+    # census invariants (reference lines 411-454):
+    # (3) + (4) + (5) == (1)
+    assert (
+        rd["nodes_dominated"]
+        + rd["nodes_relax_infeasible"]
+        + rd["nodes_relax_feasible"]
+        == rd["nodes_explored"]
+    )
+    # (6) + (7) + (9) <= (5) (master-feasible nodes may still split here)
+    assert (
+        rd["nodes_relax_feasible_pruned"]
+        + rd["nodes_relax_feasible_split"]
+        <= rd["nodes_relax_feasible"] + rd["nodes_master_feasible"]
+    )
+    # (11) <= (10) <= (9)
+    assert (
+        rd["nodes_relax_feasible_split_altmin_improvement"]
+        <= rd["nodes_relax_feasible_split_altmin"]
+    )
+    # run_log columns present and monotone lower bound
+    lowers = [r["lower"] for r in log if np.isfinite(r["lower"])]
+    assert all(b >= a - 1e-9 for a, b in zip(lowers, lowers[1:]))
+    # output contract fields
+    for key in ["X", "Y", "U", "MSE_in", "MSE_out", "MSE_all",
+                "objective_initial", "X_initial"]:
+        assert key in sol
+
+
+def test_root_only_mode(small_instance):
+    A, idx = small_instance
+    sol, _, inst = matrix_completion_branchandbound(
+        1, A, idx, 80.0,
+        node_selection="bestfirst",
+        disjunctive_cuts_type="linear",
+        disjunctive_cuts_breakpoints="smallest_1_eigvec",
+        root_only=True,
+        batch_size=2,
+        sdp_iters=500,
+        dtype="float64",
+        verbosity=0,
+    )
+    assert inst["run_details"]["nodes_explored"] == 1
+    assert inst["run_details"]["nodes_total"] >= 1
