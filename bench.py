@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark: time to certified 1e-4 gap on the reference's
+quick-start instance class — rank-1 50x50, ~50% observed, gamma = 80,
+bestfirst, linear disjunctive cuts, smallest_1_eigvec
+(`/root/reference/README.md:31-42`; BASELINE.md north-star config #1).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": x, ...}
+
+``vs_baseline`` compares against REFERENCE_CPU_SECONDS — the Julia+Mosek
+reference is not runnable in this container (no Julia/Mosek), so this is a
+recorded estimate of the reference's single-thread time-to-1e-4 on this
+instance class (the paper, arXiv 2305.12292, reports minutes-scale solves
+for 50x50 rank-1 at gamma ~ 80; 120 s is used as a conservative stand-in
+until a measured number is available).  BASELINE.md records this caveat.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_CPU_SECONDS = 120.0
+
+def main():
+    import jax
+
+    n = m = int(os.environ.get("OMC_BENCH_N", "50"))
+    k = 1
+    gamma = 80.0
+    gap = float(os.environ.get("OMC_BENCH_GAP", "1e-4"))
+    time_limit = int(os.environ.get("OMC_BENCH_TIME_LIMIT", "600"))
+    seed = int(os.environ.get("OMC_BENCH_SEED", "0"))
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    from omc.data import generate_matrix_completion_data
+    from omc.solve import matrix_completion_branchandbound
+
+    A, idx = generate_matrix_completion_data(k, n, m, int(round(0.5 * n * m)), seed)
+
+    t0 = time.time()
+    sol, _, inst = matrix_completion_branchandbound(
+        k, A, idx, gamma,
+        node_selection="bestfirst",
+        disjunctive_cuts_type="linear",
+        disjunctive_cuts_breakpoints="smallest_1_eigvec",
+        gap=gap,
+        time_limit=time_limit,
+        batch_size=int(os.environ.get("OMC_BENCH_BATCH", "64")),
+        sdp_iters=int(os.environ.get("OMC_BENCH_SDP_ITERS", "2000")),
+        dtype="float32" if on_tpu else "float64",
+        altmin_root_n_iters=3,
+        verbosity=0,
+    )
+    elapsed = time.time() - t0
+    rd = inst["run_details"]
+    final_gap = inst["run_log"][-1]["gap"] if inst["run_log"] else float("inf")
+    nodes_per_sec = rd["nodes_explored"] / max(elapsed, 1e-9)
+    reached = final_gap <= gap
+
+    print(json.dumps({
+        "metric": "time_to_certified_1e-4_gap_rank1_50x50_gamma80",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_CPU_SECONDS / elapsed, 3) if reached else 0.0,
+        "gap_achieved": float(final_gap),
+        "gap_target_reached": bool(reached),
+        "objective": float(sol["objective"]),
+        "nodes_explored": int(rd["nodes_explored"]),
+        "nodes_per_sec": round(nodes_per_sec, 2),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,7 @@ TPU analogue of the reference's Mosek KKT factorisation
 
     K'K = D + V V'
 
-with D *constant per variable block* (X: 2 sX^2, Y: 3, Theta: sT^2, U: 5)
+with D *constant per variable block* (X: 2 sX^2, Y: 3, Theta: sT^2, U: 4)
 and V containing only p = 1 + L + L*k structured columns:
 
     - the trace row           vec(I_n)            in the Y block
@@ -36,7 +36,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from omc.ops.cones import project_psd, project_soc
+from omc.ops.polar import project_psd_ns
 from omc.sdp.relax import NodeBatch
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 class ADMMState(NamedTuple):
@@ -63,10 +66,12 @@ class ADMMState(NamedTuple):
     Y: jnp.ndarray
     Th: jnp.ndarray
     U: jnp.ndarray
+    rho: jnp.ndarray  # (B,) per-node ADMM penalty (adapted in-flight)
 
 
 def init_admm_state(B, n, m, k, L, dtype=jnp.float32, *, sX=1.0, sT=1.0,
-                    X0=None, Y0=None, Th0=None, U0=None) -> ADMMState:
+                    X0=None, Y0=None, Th0=None, U0=None,
+                    rho: float = 0.02) -> ADMMState:
     z = lambda *s: jnp.zeros(s, dtype=dtype)
 
     def prim(val, shape, scale):
@@ -83,6 +88,7 @@ def init_admm_state(B, n, m, k, L, dtype=jnp.float32, *, sX=1.0, sT=1.0,
         uc=z(B, L),
         X=prim(X0, (B, n, m), sX), Y=prim(Y0, (B, n, n), 1.0),
         Th=prim(Th0, (B, m, m), sT), U=prim(U0, (B, n, k), 1.0),
+        rho=jnp.full((B,), rho, dtype=dtype),
     )
 
 
@@ -112,12 +118,12 @@ def _forward(batch: NodeBatch, Xs, Y, Ths, U, k, sX, sT):
     ones = jnp.ones(U.shape[:-2] + (k, 1), dtype=U.dtype)
     wsoc = jnp.concatenate([ones, Ut], axis=-1)
     wbox = U
-    v = jnp.einsum("bln,bnk->blk", batch.cut_x, U)
+    v = jnp.einsum("bln,bnk->blk", batch.cut_x, U, precision=_HI)
     wa = v - batch.cut_lo
     wb = batch.cut_hi - v
     c = batch.cut_lo + batch.cut_hi
     bconst = jnp.sum(-batch.cut_lo * batch.cut_hi, axis=-1)
-    xYx = jnp.einsum("bln,bnp,blp->bl", batch.cut_x, Y, batch.cut_x)
+    xYx = jnp.einsum("bln,bnp,blp->bl", batch.cut_x, Y, batch.cut_x, precision=_HI)
     wc = jnp.sum(c * v, axis=-1) + bconst - xYx
     return w1, w2, w3, w4, wsoc, wbox, wa, wb, wc
 
@@ -130,7 +136,7 @@ def _adjoint(batch: NodeBatch, y1, y2, y3, y4, ysoc, ybox, ya, yb, yc,
         + y2[..., :n, :n]
         - y3
         - y4[..., None, None] * jnp.eye(n, dtype=y3.dtype)
-        - jnp.einsum("bl,bln,blp->bnp", yc, batch.cut_x, batch.cut_x)
+        - jnp.einsum("bl,bln,blp->bnp", yc, batch.cut_x, batch.cut_x, precision=_HI)
     )
     gTh = sT * y1[..., n:, n:]
     c = batch.cut_lo + batch.cut_hi
@@ -139,15 +145,21 @@ def _adjoint(batch: NodeBatch, y1, y2, y3, y4, ysoc, ybox, ya, yb, yc,
         2.0 * y2[..., :n, n:]
         + jnp.swapaxes(ysoc[..., 1:], -1, -2)
         + ybox
-        + jnp.einsum("bln,blk->bnk", batch.cut_x, coef)
+        + jnp.einsum("bln,blk->bnk", batch.cut_x, coef, precision=_HI)
     )
     return gX, gY, gTh, gU
 
 
-def _gram(batch: NodeBatch, rho, k, dY, dU, dtype):
-    """Closed-form Woodbury Gram matrix G = I + V' D^-1 V, (B, p, p) with
-    p = 1 + L + L*k.  Column order: [trace | chord rows l=1..L |
-    interval directions (l, j) row-major]."""
+def _gram1(batch: NodeBatch, k, dtype):
+    """rho-independent Woodbury Gram G1 = I + V' D1^-1 V, (B, p, p) with
+    p = 1 + L + L*k and D1 the per-block K'K diagonal (Y: 3, U: 4).
+    Column order: [trace | chord rows l=1..L | interval directions (l, j)
+    row-major].
+
+    Since the objective Hessian Q is zero on the Y and U blocks,
+    D = rho * D1 there, so (I/rho + V' D^-1 V)^{-1} = rho * G1^{-1}:
+    one Cholesky of G1 serves every per-node penalty rho — adaptive
+    (residual-balancing) rho needs NO refactorisation."""
     B, L = batch.cut_mask.shape
     n = batch.cut_x.shape[-1]
     cm = batch.cut_mask
@@ -157,20 +169,18 @@ def _gram(batch: NodeBatch, rho, k, dY, dU, dtype):
     CC = jnp.einsum("blk,bpk->blp", c, c)
     p = 1 + L + L * k
     G = jnp.zeros((B, p, p), dtype=dtype)
-    iY = 1.0 / dY
-    iU = 1.0 / dU
+    iY = 1.0 / 3.0
+    iU = 1.0 / 4.0
     # trace-trace: <I, I> = n in Y-block
     G = G.at[:, 0, 0].set(n * iY)
     # trace-chord: <I, -x x'> = -|x|^2
-    tc = -jnp.einsum("bll->bl", XX) * iY  # (B, L) = -|x_l|^2 / dY
+    tc = -jnp.einsum("bll->bl", XX) * iY
     G = G.at[:, 0, 1 : 1 + L].set(tc)
     G = G.at[:, 1 : 1 + L, 0].set(tc)
     # chord-chord: (x_l.x_p)^2 / dY + (x_l.x_p)(c_l.c_p) / dU
     G = G.at[:, 1 : 1 + L, 1 : 1 + L].set(XX * XX * iY + XX * CC * iU)
-    # chord-direction: sqrt(2) (x_l.x_p) c_l[j] / dU  (direction col (p, j))
+    # chord-direction: <x_l c_l', sqrt2 x_p e_j'> = sqrt2 (x_l.x_p) c_l[j]
     cd = jnp.sqrt(2.0) * jnp.einsum("blp,blk->blpk", XX, c) * iU
-    # wait: column (p,j) has vector sqrt(2) x_p e_j'; chord l has x_l c_l'.
-    # <x_l c_l', sqrt2 x_p e_j'> = sqrt2 (x_l . x_p) c_l[j]
     G = G.at[:, 1 : 1 + L, 1 + L :].set(cd.reshape(B, L, L * k))
     G = G.at[:, 1 + L :, 1 : 1 + L].set(
         jnp.swapaxes(cd.reshape(B, L, L * k), -1, -2)
@@ -179,8 +189,7 @@ def _gram(batch: NodeBatch, rho, k, dY, dU, dtype):
     eye_k = jnp.eye(k, dtype=dtype)
     dd = 2.0 * jnp.einsum("blp,jk->bljpk", XX, eye_k) * iU
     G = G.at[:, 1 + L :, 1 + L :].set(dd.reshape(B, L * k, L * k))
-    # Woodbury: (D + rho V V')^{-1} needs (I/rho + V' D^{-1} V)^{-1}
-    G = G + jnp.eye(p, dtype=dtype) / rho
+    G = G + jnp.eye(p, dtype=dtype)
     return G
 
 
@@ -218,9 +227,17 @@ def _V_apply(batch: NodeBatch, s, n, k):
 
 def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                      iters: int = 400, dtype=jnp.float32, rho: float = 1.0,
-                     alpha: float = 1.6, sX: float = 1.0, sT: float = 1.0):
+                     alpha: float = 1.6, sX: float = 1.0, sT: float = 1.0,
+                     psd_method: str = "auto", jit: bool = True,
+                     adapt_rho: bool = False):
     """Build the jitted batched ADMM solver with the same interface as
-    ``omc.sdp.relax.make_solver`` (state type differs)."""
+    ``omc.sdp.relax.make_solver`` (state type differs).
+
+    ``psd_method``: "ns" (Newton-Schulz polar, matmul-only — the fast TPU
+    path), "eigh" (exact), or "auto" (ns for float32, eigh for float64)."""
+    if psd_method == "auto":
+        psd_method = "eigh" if dtype == jnp.float64 else "ns"
+    proj = project_psd_ns if psd_method == "ns" else project_psd
 
     def solve(A, mask, batch: NodeBatch, ub_bar, state: ADMMState):
         A = A.astype(dtype)
@@ -228,14 +245,8 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
         B = batch.cut_mask.shape[0]
         cm = batch.cut_mask
 
-        # diagonal of Q + rho K'K per block (constant within each block)
-        dX = mask * (sX * sX) + rho * 2.0 * sX * sX  # (n, m) broadcast over B
-        dY = rho * 3.0
-        dTh = rho * sT * sT
-        # U diag of K'K: M2 off-diag blocks (2) + SOC (1) + box (1)
-        dU = rho * 4.0
-        G = _gram(batch, rho, k, dY, dU, dtype)
-        Gc = jax.lax.linalg.cholesky(G)
+        G1 = _gram1(batch, k, dtype)
+        G1c = jax.lax.linalg.cholesky(G1)
 
         # linear objective coefficients
         cX = -sX * (mask * A)  # (n, m)
@@ -246,25 +257,27 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                  jnp.zeros((B, m, m), dtype), jnp.zeros((B, n, k), dtype))
         offs = _forward(batch, *zeros, k, sX, sT)
 
-        def solve_z(rY_rhs, rX_rhs, rTh_rhs, rU_rhs):
-            """(Q + rho K'K)^{-1} rhs via Woodbury (rho absorbed: V columns
-            carry weight rho -> D + rho V0 V0' ; we fold rho into D-scaled
-            Gram by using dY, dU already multiplied by rho and Gram scaled
-            accordingly)."""
-            # D^{-1} r
-            zX = rX_rhs / dX[None]
-            zY = rY_rhs / dY
-            zTh = rTh_rhs / dTh
-            zU = rU_rhs / dU
-            # Woodbury correction (V columns only touch Y and U)
+        def solve_z(rho_b, rY_rhs, rX_rhs, rTh_rhs, rU_rhs):
+            """(Q + rho K'K)^{-1} rhs via the rho-free Woodbury identity
+            (see _gram1); rho_b is the per-node penalty (B,)."""
+            r3 = rho_b[:, None, None]
+            dX = mask[None] * (sX * sX) + r3 * 2.0 * sX * sX
+            zX = rX_rhs / dX
+            zY = rY_rhs / (3.0 * r3)
+            zTh = rTh_rhs / (r3 * sT * sT)
+            zU = rU_rhs / (4.0 * r3)
             s = _Vt_apply(batch, zY, zU, k)  # (B, p)
-            t = jax.scipy.linalg.cho_solve((Gc, True), s[..., None])[..., 0]
+            t = rho_b[:, None] * jax.scipy.linalg.cho_solve(
+                (G1c, True), s[..., None]
+            )[..., 0]
             vY, vU = _V_apply(batch, t, n, k)
-            zY = zY - vY / dY
-            zU = zU - vU / dU
+            zY = zY - vY / (3.0 * r3)
+            zU = zU - vU / (4.0 * r3)
             return zX, zY, zTh, zU
 
-        def body(_, st: ADMMState):
+        def body(it, st: ADMMState):
+            rho_b = st.rho
+            r3 = rho_b[:, None, None]
             # ---- z-step ----
             rX, rY, rTh, rU = _adjoint(
                 batch,
@@ -277,7 +290,8 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                 n, m, k, sX, sT,
             )
             Xs, Y, Ths, U = solve_z(
-                rho * rY, rho * rX - cX[None], rho * rTh - cTh[None], rho * rU
+                rho_b, r3 * rY, r3 * rX - cX[None], r3 * rTh - cTh[None],
+                r3 * rU,
             )
             Y = 0.5 * (Y + jnp.swapaxes(Y, -1, -2))
             Ths = 0.5 * (Ths + jnp.swapaxes(Ths, -1, -2))
@@ -289,13 +303,13 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                 return alpha * fz + (1.0 - alpha) * w
 
             t1 = relax_mix(f[0], st.w1) + st.u1
-            w1 = project_psd(t1)
+            w1 = proj(t1)
             u1 = t1 - w1
             t2 = relax_mix(f[1], st.w2) + st.u2
-            w2 = project_psd(t2)
+            w2 = proj(t2)
             u2 = t2 - w2
             t3 = relax_mix(f[2], st.w3) + st.u3
-            w3 = project_psd(t3)
+            w3 = proj(t3)
             u3 = t3 - w3
             t4 = relax_mix(f[3], st.w4) + st.u4
             w4 = jnp.maximum(t4, 0.0)
@@ -317,25 +331,80 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
             wc = jnp.maximum(tc, 0.0)
             uc = (tc - wc) * cm
 
+            # ---- per-node adaptive penalty (residual balancing) ----
+            # Opt-in: on these lifted relaxations the standard balancing
+            # rule (raise rho on large primal residual) was measured to
+            # hurt — they converge best with small, size-scaled rho — so
+            # the default keeps rho fixed per node (still carried in the
+            # state so warm-started visits keep their penalty).
+            if adapt_rho:
+                def sq(a):
+                    return jnp.sum(a * a, axis=tuple(range(1, a.ndim)))
+
+                news = (w1, w2, w3, w4, wsoc, wbox, wa, wb, wc)
+                olds = (st.w1, st.w2, st.w3, st.w4, st.wsoc, st.wbox,
+                        st.wa, st.wb, st.wc)
+                rp = jnp.sqrt(sum(sq(fc - wn) for fc, wn in zip(f, news)))
+                rd = rho_b * jnp.sqrt(
+                    sum(sq(wn - wo) for wn, wo in zip(news, olds))
+                )
+                factor = jnp.where(rp > 5.0 * rd, 2.0,
+                                   jnp.where(rd > 5.0 * rp, 0.5, 1.0))
+                factor = jnp.where((it + 1) % 50 == 0, factor, 1.0)
+                rho_new = jnp.clip(rho_b * factor, 1e-4, 100.0)
+            else:
+                rho_new = rho_b
+            resc = (rho_b / rho_new)
+            r3n = resc[:, None, None]
+
             return ADMMState(
                 w1=w1, w2=w2, w3=w3, w4=w4, wsoc=wsoc, wbox=wbox,
                 wa=wa, wb=wb, wc=wc,
-                u1=u1, u2=u2, u3=u3, u4=u4, usoc=usoc, ubox=ubox,
-                ua=ua, ub=ub, uc=uc,
-                X=Xs, Y=Y, Th=Ths, U=U,
+                u1=u1 * r3n, u2=u2 * r3n, u3=u3 * r3n, u4=u4 * resc,
+                usoc=usoc * r3n, ubox=ubox * r3n,
+                ua=ua * r3n, ub=ub * r3n, uc=uc * resc[:, None],
+                X=Xs, Y=Y, Th=Ths, U=U, rho=rho_new,
             )
 
-        state = jax.lax.fori_loop(0, iters, body, state)
+        # Tail-averaged dual output: low-precision ADMM iterates wander
+        # around the fixed point; averaging the scaled duals over the final
+        # quarter of the run yields a markedly steadier certified bound
+        # (the average of dual iterates is itself a perfectly valid input
+        # to the safe bound).
+        navg = max(1, iters // 4)
+
+        def body_acc(it, carry):
+            st, acc = carry
+            st = body(it, st)
+            take = (it >= iters - navg)
+            w = jnp.where(take, 1.0, 0.0).astype(st.u1.dtype)
+            rb3 = st.rho[:, None, None]
+            acc = (
+                acc[0] + w * rb3 * st.u1, acc[1] + w * rb3 * st.u2,
+                acc[2] + w * rb3 * st.ua, acc[3] + w * rb3 * st.ub,
+                acc[4] + w * st.rho[:, None] * st.uc,
+            )
+            return st, acc
+
+        # derive the accumulators from state fields so they inherit any
+        # manual (shard_map) axis annotations
+        acc0 = (
+            jnp.zeros_like(state.u1), jnp.zeros_like(state.u2),
+            jnp.zeros_like(state.ua), jnp.zeros_like(state.ub),
+            jnp.zeros_like(state.uc),
+        )
+        state, acc = jax.lax.fori_loop(0, iters, body_acc, (state, acc0))
 
         Msep = jnp.einsum("bik,bjk->bij", state.U, state.U) - state.Y
         Msep = 0.5 * (Msep + jnp.swapaxes(Msep, -1, -2))
         sep_w, sep_V = jnp.linalg.eigh(Msep)
+        inv = 1.0 / navg
         out = {
             "X": sX * state.X, "Y": state.Y, "Th": sT * state.Th, "U": state.U,
-            "y1": rho * state.u1, "y2": rho * state.u2,
-            "ya": rho * state.ua, "yb": rho * state.ub, "yc": rho * state.uc,
+            "y1": inv * acc[0], "y2": inv * acc[1],
+            "ya": inv * acc[2], "yb": inv * acc[3], "yc": inv * acc[4],
             "sep_w": sep_w[..., :2], "sep_V": sep_V[..., :, :2],
         }
         return state, out
 
-    return jax.jit(solve)
+    return jax.jit(solve) if jit else solve

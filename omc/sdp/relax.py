@@ -60,6 +60,8 @@ import numpy as np
 
 from omc.ops.cones import project_psd, project_soc
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 class NodeBatch(NamedTuple):
     """Per-node constraint data, padded to fixed shapes.
@@ -149,12 +151,12 @@ def _forward(batch: NodeBatch, Xs, Y, Ths, U, k: int, sX, sT):
     w4 = k - jnp.trace(Y, axis1=-2, axis2=-1)
     ones = jnp.ones(U.shape[:-2] + (k, 1), dtype=U.dtype)
     wsoc = jnp.concatenate([ones, Ut], axis=-1)  # (B, k, 1+n)
-    v = jnp.einsum("bln,bnk->blk", batch.cut_x, U)
+    v = jnp.einsum("bln,bnk->blk", batch.cut_x, U, precision=_HI)
     wa = v - batch.cut_lo
     wb = batch.cut_hi - v
     c = batch.cut_lo + batch.cut_hi
     bconst = jnp.sum(-batch.cut_lo * batch.cut_hi, axis=-1)  # (B, L)
-    xYx = jnp.einsum("bln,bnp,blp->bl", batch.cut_x, Y, batch.cut_x)
+    xYx = jnp.einsum("bln,bnp,blp->bl", batch.cut_x, Y, batch.cut_x, precision=_HI)
     wc = jnp.sum(c * v, axis=-1) + bconst - xYx
     return w1, w2, w3, w4, wsoc, wa, wb, wc
 
@@ -167,7 +169,7 @@ def _adjoint(batch: NodeBatch, y1, y2, y3, y4, ysoc, ya, yb, yc, n, m, k, sX, sT
         + y2[..., :n, :n]
         - y3
         - y4[..., None, None] * jnp.eye(n, dtype=y3.dtype)
-        - jnp.einsum("bl,bln,blp->bnp", yc, batch.cut_x, batch.cut_x)
+        - jnp.einsum("bl,bln,blp->bnp", yc, batch.cut_x, batch.cut_x, precision=_HI)
     )
     gTh = sT * y1[..., n:, n:]
     c = batch.cut_lo + batch.cut_hi
@@ -175,7 +177,7 @@ def _adjoint(batch: NodeBatch, y1, y2, y3, y4, ysoc, ya, yb, yc, n, m, k, sX, sT
     gU = (
         2.0 * y2[..., :n, n:]
         + jnp.swapaxes(ysoc[..., 1:], -1, -2)  # (B, n, k)
-        + jnp.einsum("bln,blk->bnk", batch.cut_x, coef)
+        + jnp.einsum("bln,blk->bnk", batch.cut_x, coef, precision=_HI)
     )
     return gX, gY, gTh, gU
 
@@ -339,7 +341,40 @@ def safe_dual_bound(xp, A, mask, batch, y1, y2, ya, yb, yc, gamma, k, ub_bar,
         w, V = xp.linalg.eigh(Mat)
         return xp.einsum("...ik,...k,...jk->...ij", V, xp.maximum(w, 0.0), V)
 
-    S1 = _psd(-y1)
+    # Noise hygiene for low-precision device duals (any S1 = proj_PSD(M) of
+    # any M yields a valid bound, so these edits are free): the optimal q
+    # (X-block of S1) is supported on observed entries — zero the
+    # off-support block before projecting, since each spurious entry is
+    # amplified by R_X in the X-term below.
+    S1in = -y1
+    obs = mask > 0
+    S1in = xp.concatenate(
+        [
+            xp.concatenate(
+                [S1in[..., :n, :n], xp.where(obs, S1in[..., :n, n:], 0.0)], axis=-1
+            ),
+            xp.concatenate(
+                [
+                    xp.where(
+                        xp.swapaxes(obs, -1, -2) if obs.ndim > 2 else obs.T,
+                        S1in[..., n:, :n],
+                        0.0,
+                    ),
+                    S1in[..., n:, n:],
+                ],
+                axis=-1,
+            ),
+        ],
+        axis=-2,
+    )
+    S1 = _psd(S1in)
+    # Rescale so the Theta block satisfies R1 <= I/(2 gamma) exactly: the
+    # Theta kept-set term then vanishes identically instead of amplifying
+    # R1 noise by its trace radius 2*gamma*ub_bar.  Scaling a PSD
+    # multiplier by c in (0, 1] preserves dual feasibility.
+    lmaxR1 = xp.linalg.eigvalsh(S1[..., n:, n:])[..., -1]
+    c_scale = xp.minimum(1.0, (0.5 / gamma) / xp.maximum(lmaxR1, 1e-30))
+    S1 = S1 * c_scale[..., None, None]
     S2 = _psd(-y2)
     P1, q, R1 = S1[..., :n, :n], S1[..., :n, n:], S1[..., n:, n:]
     P2, E = S2[..., :n, :n], S2[..., n:, n:]

@@ -337,7 +337,9 @@ def matrix_completion_branchandbound(
         kw = dict(X0=X0[None], Y0=(U0 @ U0.T)[None],
                   Th0=(V0.T @ V0)[None], U0=U0[None])
         if cfg.sdp_method == "admm":
-            return init_admm_state(B, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
+            return init_admm_state(
+                B, n, m, k, L, dtype=dtype, sX=sX, sT=sT, rho=cfg.sdp_rho, **kw
+            )
         return init_state(B, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
 
     def warm_state(nodes: List[BBNode], L):

@@ -1,0 +1,60 @@
+"""Multi-device sharded super-step tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from omc.data import generate_matrix_completion_data
+from omc.parallel.mesh import make_mesh, make_sharded_super_step, shard_batch
+from omc.sdp.admm import init_admm_state, make_admm_solver
+from omc.sdp.relax import NodeBatch, host_certified_bound
+from omc.tree import root_box
+
+
+def _batch(B, n, k, L):
+    lo, hi = root_box(n, k)
+    return NodeBatch(
+        cut_x=jnp.zeros((B, L, n)), cut_lo=jnp.zeros((B, L, k)),
+        cut_hi=jnp.zeros((B, L, k)), cut_mask=jnp.zeros((B, L)),
+        U_lo=jnp.asarray(np.broadcast_to(lo, (B, n, k))),
+        U_hi=jnp.asarray(np.broadcast_to(hi, (B, n, k))),
+    )
+
+
+def test_sharded_super_step_matches_single_device():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    n = m = 8
+    k, gamma, L, B = 1, 40.0, 4, 8
+    A, idx = generate_matrix_completion_data(k, n, m, 40, seed=0)
+    mask = idx.astype(np.float64)
+    ub = 0.5 * float(np.sum(mask * A * A))
+
+    mesh = make_mesh(8)
+    step = make_sharded_super_step(
+        mesh, n, m, k, L, gamma, iters=200, dtype=jnp.float64, rho=0.05,
+    )
+    batch = _batch(B, n, k, L)
+    st0 = init_admm_state(B, n, m, k, L, jnp.float64)
+    batch_s, st_s = shard_batch(mesh, batch, st0)
+    state, out, lb_dev, gmin = step(
+        jnp.asarray(A), jnp.asarray(mask), batch_s, ub, st_s
+    )
+    lb_dev = np.asarray(lb_dev)
+    assert np.isfinite(lb_dev).all()
+    assert float(gmin) == pytest.approx(float(lb_dev.min()))
+
+    # identical math on one device (same batch, same iterations)
+    solver = make_admm_solver(n, m, k, L, gamma, iters=200, dtype=jnp.float64,
+                              rho=0.05)
+    _, out1 = solver(jnp.asarray(A), jnp.asarray(mask), batch, ub, st0)
+    np.testing.assert_allclose(
+        np.asarray(out["Y"]), np.asarray(out1["Y"]), rtol=1e-8, atol=1e-8
+    )
+    # host-certified bounds agree too
+    outs = {kk: np.asarray(v) for kk, v in out.items()}
+    out1s = {kk: np.asarray(v) for kk, v in out1.items()}
+    lb_a = host_certified_bound(A, mask, batch, outs, gamma, k, ub)
+    lb_b = host_certified_bound(A, mask, batch, out1s, gamma, k, ub)
+    np.testing.assert_allclose(lb_a, lb_b, rtol=1e-8, atol=1e-8)
