@@ -70,6 +70,10 @@ class SolverConfig:
     dtype: str = "float32"  # device compute dtype ("float32" | "float64")
     seed: int = 0  # matches reference Random.seed!(0) at line 333
     mesh_shape: Optional[Tuple[int, ...]] = None  # None => single device
+    # checkpoint / resume (absent in the reference; SURVEY.md section 5)
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 60  # seconds between checkpoint writes
+    resume: bool = False  # resume from checkpoint_path if it exists
 
     def __post_init__(self):
         if self.use_disjunctive_cuts:

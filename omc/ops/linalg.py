@@ -24,7 +24,10 @@ def v_step(U, A, mask, gamma, ridge_eps=1e-10):
     G = G + (1.0 / gamma) * (U.T @ U)[None, :, :]
     G = G + ridge_eps * jnp.eye(k, dtype=U.dtype)[None, :, :]
     rhs = (U.T @ (mask * A)).T  # (m, k)
-    V = jnp.linalg.solve(G, rhs[..., None])[..., 0]  # (m, k)
+    if k == 1:  # scalar closed form — avoids batched LU compile/runtime
+        V = rhs / G[..., 0]
+    else:
+        V = jnp.linalg.solve(G, rhs[..., None])[..., 0]  # (m, k)
     return V.T
 
 
@@ -40,7 +43,10 @@ def u_step_unconstrained(V, A, mask, gamma, ridge_eps=1e-10):
     H = H + (1.0 / gamma) * (V @ V.T)[None, :, :]
     H = H + ridge_eps * jnp.eye(k, dtype=V.dtype)[None, :, :]
     rhs = (mask * A) @ V.T  # (n, k)
-    U = jnp.linalg.solve(H, rhs[..., None])[..., 0]  # (n, k)
+    if k == 1:
+        U = rhs / H[..., 0]
+    else:
+        U = jnp.linalg.solve(H, rhs[..., None])[..., 0]  # (n, k)
     return U
 
 

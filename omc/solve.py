@@ -25,6 +25,7 @@ Soundness notes (differences from the reference, all conservative):
 
 from __future__ import annotations
 
+import os
 import time
 from collections import OrderedDict
 from typing import Dict, List, Optional
@@ -52,6 +53,7 @@ from omc.sdp.relax import (
 )
 from omc.sdp import shor as shor_mod
 from omc.tree import BBNode, BBTree, ShorInfo, compute_gap, root_box
+from omc.utils.checkpoint import load_checkpoint, save_checkpoint
 from omc.utils.logging import UPDATE_HEADER, add_message, update_row
 
 _L_BUCKETS = (8, 32, 128, 512, 2048)
@@ -205,14 +207,31 @@ def matrix_completion_branchandbound(
         [U_base] + [U_base + sc * rng.standard_normal((n, k)) for _ in range(n_runs - 1)]
     )
     root_lo, root_hi = root_box(n, k)
-    altmin_root = make_altmin(
+    # one compiled altmin program (batch = cfg.batch_size) serves both the
+    # root multi-restart and all tree-node heuristic runs (padded)
+    B = cfg.batch_size
+    altmin_fn = make_altmin(
         n, m, k, gamma, max_iters=cfg.altmin_max_iters, tol=cfg.altmin_tol, dtype=dtype
     )
-    lo_b = jnp.broadcast_to(jnp.asarray(root_lo, dtype=dtype), (n_runs, n, k))
-    hi_b = jnp.broadcast_to(jnp.asarray(root_hi, dtype=dtype), (n_runs, n, k))
-    res = altmin_root(A_dev, mask_dev, jnp.asarray(U_inits, dtype=dtype), lo_b, hi_b)
-    res_U = np.asarray(res.U, dtype=np.float64)
-    res_V = np.asarray(res.V, dtype=np.float64)
+    lo_b = jnp.broadcast_to(jnp.asarray(root_lo, dtype=dtype), (B, n, k))
+    hi_b = jnp.broadcast_to(jnp.asarray(root_hi, dtype=dtype), (B, n, k))
+
+    def run_altmin(U_init_batch: np.ndarray):
+        """Run altmin on up to-B initialisations, padding to the fixed
+        batch (chunking if more)."""
+        outs = []
+        for s0 in range(0, U_init_batch.shape[0], B):
+            chunk = U_init_batch[s0 : s0 + B]
+            pad = np.repeat(chunk[-1:], B - chunk.shape[0], axis=0)
+            full = np.concatenate([chunk, pad], axis=0)
+            r = altmin_fn(A_dev, mask_dev, jnp.asarray(full, dtype=dtype), lo_b, hi_b)
+            outs.append((np.asarray(r.U, np.float64)[: chunk.shape[0]],
+                         np.asarray(r.V, np.float64)[: chunk.shape[0]],
+                         np.asarray(r.converged)[: chunk.shape[0]],
+                         np.asarray(r.n_iters)[: chunk.shape[0]]))
+        return tuple(np.concatenate(parts, axis=0) for parts in zip(*outs))
+
+    res_U, res_V, _, _ = run_altmin(U_inits)
     t_root_altmin = time.time() - altmin_start
     solve_time_altmin += t_root_altmin
     dict_solve_times_altmin.append({"node_id": 0, "depth": 0, "solve_time": t_root_altmin})
@@ -267,14 +286,51 @@ def matrix_completion_branchandbound(
         solution["X"] = np.array(X)
 
     # ------------------------------------------------------------------
-    # Tree initialisation (reference lines 626-698)
+    # Tree initialisation (reference lines 626-698), or resume from a
+    # checkpoint (TPU-native addition; the reference loses the tree on
+    # timeout, SURVEY.md section 5)
     # ------------------------------------------------------------------
+    resume_payload = None
+    if cfg.resume and cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+        resume_payload = load_checkpoint(cfg.checkpoint_path)
+
     root_shor = None
     root = BBNode(
         node_id=1, parent_id=0, U_lower=root_lo, U_upper=root_hi,
         LB=-np.inf, depth=0, cuts=[], Shor_info=root_shor,
     )
     tree = BBTree(root, best_upper_bound=objective_initial)
+
+    if resume_payload is not None:
+        tree = resume_payload["tree"]
+        # warm-start states are not checkpointed (pure optimisation); give
+        # resumed nodes a fresh refinement budget so bounds can rebuild
+        for nd in tree.nodes.values():
+            nd.refines = 0
+        solution.update(resume_payload["solution"])
+        census.update(resume_payload["census"])
+        run_log.extend(resume_payload["run_log"])
+        rng.bit_generator.state = resume_payload["rng_state"]
+        add_message(printlist, [
+            f"Resumed from checkpoint {cfg.checkpoint_path}: "
+            f"{tree.nodes_explored} nodes explored, "
+            f"{tree.nodes_remaining} remaining, gap {tree.now_gap:g}.\n"
+        ], echo=echo)
+    last_checkpoint = time.time()
+
+    def maybe_checkpoint(force=False):
+        nonlocal last_checkpoint
+        if not cfg.checkpoint_path:
+            return
+        if force or time.time() - last_checkpoint >= cfg.checkpoint_every:
+            save_checkpoint(cfg.checkpoint_path, {
+                "tree": tree,
+                "solution": solution,
+                "census": census,
+                "run_log": run_log,
+                "rng_state": rng.bit_generator.state,
+            })
+            last_checkpoint = time.time()
 
     add_message(printlist, UPDATE_HEADER, echo=echo)
 
@@ -292,8 +348,6 @@ def matrix_completion_branchandbound(
 
     # jitted program caches, keyed by the cut-capacity bucket
     solvers: Dict[int, object] = {}
-    altmin_node_fn = None
-    B = cfg.batch_size
     root_node_timeout = False
 
     # block variable scales for PDHG conditioning (see omc/sdp/relax.py);
@@ -457,26 +511,12 @@ def matrix_completion_branchandbound(
         # ---- batched altmin heuristic at marked nodes ----
         if altmin_marked:
             t0 = time.time()
-            if altmin_node_fn is None:
-                altmin_node_fn = make_altmin(
-                    n, m, k, gamma, max_iters=cfg.altmin_max_iters,
-                    tol=cfg.altmin_tol, dtype=dtype,
-                )
-            Bm = len(altmin_marked)
-            U_init_m = np.zeros((Bm, n, k), dtype=np.float64)
+            U_init_m = np.zeros((len(altmin_marked), n, k), dtype=np.float64)
             for j, i in enumerate(altmin_marked):
                 Yi = out["Y"][i].astype(np.float64)
                 w, V = np.linalg.eigh(0.5 * (Yi + Yi.T))
                 U_init_m[j] = V[:, ::-1][:, :k]
-            lo_m = jnp.broadcast_to(jnp.asarray(root_lo, dtype=dtype), (Bm, n, k))
-            hi_m = jnp.broadcast_to(jnp.asarray(root_hi, dtype=dtype), (Bm, n, k))
-            am = altmin_node_fn(
-                A_dev, mask_dev, jnp.asarray(U_init_m, dtype=dtype), lo_m, hi_m
-            )
-            am_U = np.asarray(am.U, dtype=np.float64)
-            am_V = np.asarray(am.V, dtype=np.float64)
-            am_conv = np.asarray(am.converged)
-            am_iters = np.asarray(am.n_iters)
+            am_U, am_V, am_conv, am_iters = run_altmin(U_init_m)
             t_alt = time.time() - t0
             solve_time_altmin += t_alt
             for j, i in enumerate(altmin_marked):
@@ -484,7 +524,7 @@ def matrix_completion_branchandbound(
                 census["nodes_relax_feasible_split_altmin"] += 1
                 dict_solve_times_altmin.append({
                     "node_id": node.node_id, "depth": node.depth,
-                    "solve_time": t_alt / Bm,
+                    "solve_time": t_alt / len(altmin_marked),
                 })
                 dict_num_iterations_altmin.append({
                     "node_id": node.node_id, "depth": node.depth,
@@ -535,12 +575,14 @@ def matrix_completion_branchandbound(
             or time.time() - start_time > cfg.time_limit
         )
         add_update(echo_row=print_now if verbosity >= 1 else verbosity >= 3)
+        maybe_checkpoint()
 
         if cfg.root_only:
             break
 
     end_time = time.time()
     time_taken = end_time - start_time
+    maybe_checkpoint(force=True)
 
     solution["MSE_in"] = float(compute_MSE(solution["X"], A, mask, kind="in"))
     solution["MSE_out"] = float(compute_MSE(solution["X"], A, mask, kind="out"))
