@@ -29,6 +29,9 @@ REFERENCE_CPU_SECONDS = 120.0
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     n = m = int(os.environ.get("OMC_BENCH_N", "50"))
     k = 1
     gamma = 80.0
@@ -54,7 +57,7 @@ def main():
         sdp_iters=int(os.environ.get("OMC_BENCH_SDP_ITERS", "2000")),
         dtype="float32" if on_tpu else "float64",
         altmin_root_n_iters=3,
-        verbosity=0,
+        verbosity=int(os.environ.get("OMC_BENCH_VERBOSITY", "0")),
     )
     elapsed = time.time() - t0
     rd = inst["run_details"]

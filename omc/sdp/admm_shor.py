@@ -1,0 +1,587 @@
+"""Batched ADMM node relaxation with Shor valid inequalities (rank-1 path).
+
+Extends ``omc.sdp.admm`` with the reference's Shor strengthening
+(`/root/reference/src/OptimalMatrixCompletion.jl:1755-1779` for k = 1):
+
+- lifted variables ``W`` (n, m) >= 0 with the W-linearised objective
+  ``1/2 sum_Omega (A^2 - 2 A X + W) + tr(Theta)/(2 gamma)`` (lines
+  1837-1846), and pair-indexed ``V1 / V2 / V3`` *shared across minors*
+  exactly as in the JuMP model (stored as per-node flat arrays with gather
+  tables, see ``omc.sdp.shor_encode``),
+- per active minor (i1, i2, j1, j2) a 5x5 PSD block on
+  ``[1, X11, X12, X21, X22]`` against ``W``/``V`` entries (line 1771),
+- rotated SOC rows ``W_ij >= X_ij^2`` on the uncovered coordinates
+  (line 1757),
+- linkage rows ``Theta_jj = sum_i W_ij`` (line 1763) — these join the
+  Woodbury low-rank part of K'K as m extra columns whose Gram block is
+  *diagonal* (they touch disjoint variables), so the z-step stays one
+  batched Cholesky.
+
+Certification: ``safe_dual_bound_shor`` extends the kept-set Lagrangian
+bound — X/W/V blocks are linear in the objective/Lagrangian, minimised
+in closed form over valid boxes (|X| <= R_X, 0 <= W <= 2 gamma ub,
+|V| <= R_X^2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omc.ops.cones import project_psd, project_rsoc, project_soc
+from omc.ops.polar import project_psd_ns
+from omc.sdp.admm import (
+    _HI,
+    _V_apply,
+    _Vt_apply,
+    _adjoint,
+    _forward,
+    _gram1,
+)
+from omc.sdp.relax import NodeBatch
+from omc.sdp.shor_encode import ShorBatchHost
+
+
+class ShorBatch(NamedTuple):
+    """Device-side Shor constraint tables (see ShorBatchHost)."""
+
+    minor_idx: jnp.ndarray  # (B, M5, 4) int32
+    minor_mask: jnp.ndarray  # (B, M5)
+    iv1a: jnp.ndarray
+    iv1b: jnp.ndarray
+    iv2a: jnp.ndarray
+    iv2b: jnp.ndarray
+    iv3: jnp.ndarray
+    soc_idx: jnp.ndarray  # (B, Ms, 2)
+    soc_mask: jnp.ndarray  # (B, Ms)
+    cnt_X: jnp.ndarray  # (B, n, m)
+    cnt_W: jnp.ndarray
+    cnt_v1: jnp.ndarray  # (B, P1)
+    cnt_v2: jnp.ndarray
+    cnt_v3: jnp.ndarray
+
+
+def shor_batch_to_device(h: ShorBatchHost, dtype) -> ShorBatch:
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    i = lambda a: jnp.asarray(a, dtype=jnp.int32)
+    return ShorBatch(
+        minor_idx=i(h.minor_idx), minor_mask=f(h.minor_mask),
+        iv1a=i(h.iv1a), iv1b=i(h.iv1b), iv2a=i(h.iv2a), iv2b=i(h.iv2b),
+        iv3=i(h.iv3), soc_idx=i(h.soc_idx), soc_mask=f(h.soc_mask),
+        cnt_X=f(h.cnt_X), cnt_W=f(h.cnt_W),
+        cnt_v1=f(h.cnt_v1), cnt_v2=f(h.cnt_v2), cnt_v3=f(h.cnt_v3),
+    )
+
+
+class ShorADMMState(NamedTuple):
+    core: "ADMMStateCore"  # the base ADMMState from omc.sdp.admm
+    W: jnp.ndarray  # (B, n, m) scaled
+    v1: jnp.ndarray  # (B, P1) scaled
+    v2: jnp.ndarray
+    v3: jnp.ndarray
+    w5: jnp.ndarray  # (B, M5, 5, 5)
+    u5: jnp.ndarray
+    wr: jnp.ndarray  # (B, Ms, 3)
+    ur: jnp.ndarray
+    wl: jnp.ndarray  # (B, m) Theta-link rows
+    ul: jnp.ndarray
+    wp: jnp.ndarray  # (B, n, m) W >= 0 slot
+    up: jnp.ndarray
+
+
+from omc.sdp.admm import ADMMState as ADMMStateCore  # noqa: E402
+from omc.sdp.admm import init_admm_state  # noqa: E402
+
+
+def init_shor_state(B, n, m, k, L, M5, Ms, dtype=jnp.float32, *, sX=1.0,
+                    sT=1.0, rho=0.02, **kw) -> ShorADMMState:
+    P1 = P2 = 2 * M5
+    P3 = M5
+    z = lambda *s: jnp.zeros(s, dtype=dtype)
+    core = init_admm_state(B, n, m, k, L, dtype, sX=sX, sT=sT, rho=rho, **kw)
+    return ShorADMMState(
+        core=core, W=z(B, n, m), v1=z(B, P1), v2=z(B, P2), v3=z(B, P3),
+        w5=z(B, M5, 5, 5), u5=z(B, M5, 5, 5),
+        wr=z(B, Ms, 3), ur=z(B, Ms, 3), wl=z(B, m), ul=z(B, m),
+        wp=z(B, n, m), up=z(B, n, m),
+    )
+
+
+def _flat_idx(minor_idx, m):
+    """Flat (n*m) indices of the four X/W coordinates of each minor."""
+    i1, i2, j1, j2 = (minor_idx[..., t] for t in range(4))
+    return (i1 * m + j1, i1 * m + j2, i2 * m + j1, i2 * m + j2)
+
+
+def _gather(flat, idx):
+    """flat (B, N), idx (B, M) -> (B, M)."""
+    return jnp.take_along_axis(flat, idx, axis=1)
+
+
+def _scatter_add(shape_ref, idx, val):
+    """Accumulate val (B, M) into zeros_like-shaped (B, N) at idx."""
+    out = jnp.zeros_like(shape_ref)
+    return out.at[jnp.arange(out.shape[0])[:, None], idx].add(val)
+
+
+def _forward_shor(sb: ShorBatch, Xs, Ws, v1s, v2s, v3s, m, sX, sW):
+    """Shor slot values: 5x5 minors, RSOC rows, and the link residual part
+    involving W (the Theta part is added by the caller)."""
+    B = Xs.shape[0]
+    Xf = (sX * Xs).reshape(B, -1)
+    Wf = (sW * Ws).reshape(B, -1)
+    f11, f12, f21, f22 = _flat_idx(sb.minor_idx, m)
+    x11, x12, x21, x22 = (_gather(Xf, f) for f in (f11, f12, f21, f22))
+    w11, w12, w21, w22 = (_gather(Wf, f) for f in (f11, f12, f21, f22))
+    V1a = sW * _gather(v1s, sb.iv1a)
+    V1b = sW * _gather(v1s, sb.iv1b)
+    V2a = sW * _gather(v2s, sb.iv2a)
+    V2b = sW * _gather(v2s, sb.iv2b)
+    V3 = sW * _gather(v3s, sb.iv3)
+    one = jnp.ones_like(x11)
+    rows = [
+        [one, x11, x12, x21, x22],
+        [x11, w11, V1a, V2a, V3],
+        [x12, V1a, w12, V3, V2b],
+        [x21, V2a, V3, w21, V1b],
+        [x22, V3, V2b, V1b, w22],
+    ]
+    w5 = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)  # (B,M5,5,5)
+
+    si, sj = sb.soc_idx[..., 0], sb.soc_idx[..., 1]
+    sflat = si * m + sj
+    wr = jnp.stack(
+        [0.5 * jnp.ones_like(sflat, dtype=Xs.dtype),
+         _gather(Wf, sflat), _gather(Xf, sflat)],
+        axis=-1,
+    )  # (B, Ms, 3)
+    wcol = jnp.sum((sW * Ws), axis=-2)  # (B, m): sum_i W_ij
+    return w5, wr, wcol
+
+
+def _adjoint_shor(sb: ShorBatch, y5, yr, yl, B, n, m, sX, sW):
+    """Adjoint of the Shor slots -> gradients on (Xs, Ws, v1s, v2s, v3s,
+    Th-diag contribution handled by caller)."""
+    f11, f12, f21, f22 = _flat_idx(sb.minor_idx, m)
+    cm = sb.minor_mask
+    y5 = y5 * cm[..., None, None]
+    gXf = jnp.zeros((B, n * m), dtype=y5.dtype)
+    gWf = jnp.zeros((B, n * m), dtype=y5.dtype)
+    barange = jnp.arange(B)[:, None]
+    # X rows/cols of the 5x5 (symmetric dual): coefficient 2*y5[0, c]
+    for f, c in ((f11, 1), (f12, 2), (f21, 3), (f22, 4)):
+        gXf = gXf.at[barange, f].add(sX * 2.0 * y5[..., 0, c])
+    for f, c in ((f11, 1), (f12, 2), (f21, 3), (f22, 4)):
+        gWf = gWf.at[barange, f].add(sW * y5[..., c, c])
+    gv1 = jnp.zeros_like(sb.cnt_v1)
+    gv2 = jnp.zeros_like(sb.cnt_v2)
+    gv3 = jnp.zeros_like(sb.cnt_v3)
+    gv1 = gv1.at[barange, sb.iv1a].add(sW * 2.0 * y5[..., 1, 2])
+    gv1 = gv1.at[barange, sb.iv1b].add(sW * 2.0 * y5[..., 3, 4])
+    gv2 = gv2.at[barange, sb.iv2a].add(sW * 2.0 * y5[..., 1, 3])
+    gv2 = gv2.at[barange, sb.iv2b].add(sW * 2.0 * y5[..., 2, 4])
+    gv3 = gv3.at[barange, sb.iv3].add(
+        sW * 2.0 * (y5[..., 1, 4] + y5[..., 2, 3])
+    )
+    # RSOC rows (0.5, W, X)
+    yr = yr * sb.soc_mask[..., None]
+    si, sj = sb.soc_idx[..., 0], sb.soc_idx[..., 1]
+    sflat = si * m + sj
+    gWf = gWf.at[barange, sflat].add(sW * yr[..., 1])
+    gXf = gXf.at[barange, sflat].add(sX * yr[..., 2])
+    # link rows: r_j = Theta_jj - sum_i W_ij -> dW_ij -= yl_j
+    gW = gWf.reshape(B, n, m) - sW * yl[:, None, :]
+    return gXf.reshape(B, n, m), gW, gv1, gv2, gv3
+
+
+def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
+                     *, iters: int = 400, dtype=jnp.float32,
+                     alpha: float = 1.6, sX: float = 1.0, sT: float = 1.0,
+                     psd_method: str = "auto", jit: bool = True):
+    """Batched ADMM solver for the rank-1 relaxation with Shor valid
+    inequalities.  Interface mirrors ``make_admm_solver`` with the extra
+    per-batch ``ShorBatch`` argument; returns (state, out) where ``out``
+    additionally carries W and the Shor dual blocks for certification."""
+    k = 1
+    if psd_method == "auto":
+        psd_method = "eigh" if dtype == jnp.float64 else "ns"
+    proj = project_psd_ns if psd_method == "ns" else project_psd
+    sW = sX * sX
+
+    def solve(A, mask, batch: NodeBatch, sb: ShorBatch, ub_bar,
+              state: ShorADMMState):
+        A = A.astype(dtype)
+        mask = mask.astype(dtype)
+        B = batch.cut_mask.shape[0]
+        cm = batch.cut_mask
+        m5m = sb.minor_mask
+        socm = sb.soc_mask
+
+        G1 = _gram1(batch, k, dtype)
+        G1c = jax.lax.linalg.cholesky(G1)
+        # link-row Gram block is diagonal (disjoint variables per column)
+        g_link = 2.0 + jnp.sum(1.0 / jnp.maximum(sb.cnt_W, 1e-30), axis=1)  # (B, m)
+
+        # objective (all linear under the W form): c'z with
+        # F = 1/2 sum A^2 - sum_Omega A X + 1/2 sum_Omega W + tr(Theta)/2g
+        cX = -sX * (mask * A)
+        cW = 0.5 * sW * mask
+        cTh = (sT * 0.5 / gamma) * jnp.eye(m, dtype=dtype)
+        const_obj = 0.5 * jnp.sum(mask * A * A)
+
+        dX1 = (2.0 + sb.cnt_X) * sX * sX  # D = rho * dX1
+        dW1 = jnp.maximum(sb.cnt_W, 1.0) * sW * sW
+        dv1 = jnp.maximum(sb.cnt_v1, 1.0) * sW * sW
+        dv2 = jnp.maximum(sb.cnt_v2, 1.0) * sW * sW
+        dv3 = jnp.maximum(sb.cnt_v3, 1.0) * sW * sW
+
+        zeros4 = (jnp.zeros((B, n, m), dtype), jnp.zeros((B, n, n), dtype),
+                  jnp.zeros((B, m, m), dtype), jnp.zeros((B, n, k), dtype))
+        offs = _forward(batch, *zeros4, k, sX, sT)
+        zshor = (jnp.zeros((B, n, m), dtype), jnp.zeros((B, n, m), dtype),
+                 jnp.zeros_like(state.v1), jnp.zeros_like(state.v2),
+                 jnp.zeros_like(state.v3))
+        offs5, offsr, offsl_w = _forward_shor(sb, zshor[0], zshor[1],
+                                              zshor[2], zshor[3], zshor[4],
+                                              m, sX, sW)
+
+        # valid primal boxes for stability (master-feasible ranges)
+        Wmax = (2.0 * gamma * ub_bar) / sW
+        Vmax = (2.0 * gamma * ub_bar) / sW
+        R_Xs = jnp.sqrt(2.0 * gamma * ub_bar) / sX
+
+        def body(it, st: ShorADMMState):
+            c0 = st.core
+            rho_b = c0.rho
+            r3 = rho_b[:, None, None]
+            r2 = rho_b[:, None]
+            # ---- z-step rhs: rho * K'(w - u - b) - c ----
+            rX, rY, rTh, rU = _adjoint(
+                batch,
+                c0.w1 - c0.u1 - offs[0], c0.w2 - c0.u2 - offs[1],
+                c0.w3 - c0.u3 - offs[2], c0.w4 - c0.u4 - offs[3],
+                c0.wsoc - c0.usoc - offs[4], c0.wbox - c0.ubox - offs[5],
+                (c0.wa - c0.ua - offs[6]) * cm[..., None],
+                (c0.wb - c0.ub - offs[7]) * cm[..., None],
+                (c0.wc - c0.uc - offs[8]) * cm,
+                n, m, k, sX, sT,
+            )
+            gX5, gW5, gv1, gv2, gv3 = _adjoint_shor(
+                sb,
+                (st.w5 - st.u5 - offs5) * m5m[..., None, None],
+                (st.wr - st.ur - offsr) * socm[..., None],
+                (st.wl - st.ul),  # link offset is zero
+                B, n, m, sX, sW,
+            )
+            # W >= 0 slot adjoint (identity row, coefficient sW)
+            gW5 = gW5 + sW * (st.wp - st.up)
+            # link rows touch Theta diagonal with coefficient sT
+            yl = st.wl - st.ul
+            rTh_l = sT * yl[:, None, :] * jnp.eye(m, dtype=dtype)
+
+            RX = r3 * (rX + gX5) - cX[None]
+            RY = r3 * rY
+            RT = r3 * (rTh + rTh_l) - cTh[None]
+            RU = r3 * rU
+            RW = r3 * gW5 - cW[None]
+            Rv1 = r2 * gv1
+            Rv2 = r2 * gv2
+            Rv3 = r2 * gv3
+
+            # ---- diagonal solve ----
+            zX = RX / (r3 * dX1)
+            zY = RY / (3.0 * r3)
+            zTh = RT / (r3 * sT * sT)
+            zU = RU / (4.0 * r3)
+            zW = RW / (r3 * dW1)
+            zv1 = Rv1 / (r2 * dv1)
+            zv2 = Rv2 / (r2 * dv2)
+            zv3 = Rv3 / (r2 * dv3)
+
+            # ---- Woodbury corrections ----
+            s = _Vt_apply(batch, zY, zU, k)
+            t = rho_b[:, None] * jax.scipy.linalg.cho_solve(
+                (G1c, True), s[..., None]
+            )[..., 0]
+            vY, vU = _V_apply(batch, t, n, k)
+            zY = zY - vY / (3.0 * r3)
+            zU = zU - vU / (4.0 * r3)
+            # link columns: s_j = sT z_Theta[j,j] - sW sum_i zW[i,j]
+            s_l = sT * jnp.diagonal(zTh, axis1=-2, axis2=-1) - sW * jnp.sum(
+                zW, axis=1
+            )
+            t_l = rho_b[:, None] * s_l / g_link
+            zTh = zTh - (t_l / (rho_b[:, None] * sT))[:, None, :] * jnp.eye(
+                m, dtype=dtype
+            )
+            zW = zW + t_l[:, None, :] / (r3 * sW * dW1 / (sW * sW))
+            # note: D_W = rho * dW1 with dW1 = cnt * sW^2; correction is
+            # (-sW * t_l) / D_W = -t_l / (rho * sW * cnt); cnt = dW1 / sW^2
+            Y = 0.5 * (zY + jnp.swapaxes(zY, -1, -2))
+            Ths = 0.5 * (zTh + jnp.swapaxes(zTh, -1, -2))
+            Xs = jnp.clip(zX, -R_Xs, R_Xs)
+            Ws, v1, v2, v3 = zW, zv1, zv2, zv3
+            U = zU
+
+            # ---- w/u-steps ----
+            f = _forward(batch, Xs, Y, Ths, U, k, sX, sT)
+            f5, fr, fw_col = _forward_shor(sb, Xs, Ws, v1, v2, v3, m, sX, sW)
+            f_link = sT * jnp.diagonal(Ths, axis1=-2, axis2=-1) - fw_col
+
+            def relax_mix(fz, w):
+                return alpha * fz + (1.0 - alpha) * w
+
+            t1 = relax_mix(f[0], c0.w1) + c0.u1
+            w1 = proj(t1)
+            u1 = t1 - w1
+            t2 = relax_mix(f[1], c0.w2) + c0.u2
+            w2 = proj(t2)
+            u2 = t2 - w2
+            t3 = relax_mix(f[2], c0.w3) + c0.u3
+            w3 = proj(t3)
+            u3 = t3 - w3
+            t4 = relax_mix(f[3], c0.w4) + c0.u4
+            w4 = jnp.maximum(t4, 0.0)
+            u4 = t4 - w4
+            tsoc = relax_mix(f[4], c0.wsoc) + c0.usoc
+            pt, pw = project_soc(tsoc[..., 0], tsoc[..., 1:])
+            wsoc = jnp.concatenate([pt[..., None], pw], axis=-1)
+            usoc = tsoc - wsoc
+            tbox = relax_mix(f[5], c0.wbox) + c0.ubox
+            wbox = jnp.clip(tbox, batch.U_lo, batch.U_hi)
+            ubox = tbox - wbox
+            ta = relax_mix(f[6], c0.wa) + c0.ua
+            wa = jnp.maximum(ta, 0.0)
+            ua = (ta - wa) * cm[..., None]
+            tb = relax_mix(f[7], c0.wb) + c0.ub
+            wb = jnp.maximum(tb, 0.0)
+            ub = (tb - wb) * cm[..., None]
+            tc = relax_mix(f[8], c0.wc) + c0.uc
+            wc = jnp.maximum(tc, 0.0)
+            uc = (tc - wc) * cm
+
+            t5 = relax_mix(f5, st.w5) + st.u5
+            w5 = proj(t5)
+            u5 = (t5 - w5) * m5m[..., None, None]
+            tr_ = relax_mix(fr, st.wr) + st.ur
+            ru, rv, rx = project_rsoc(tr_[..., 0], tr_[..., 1],
+                                      tr_[..., 2:])
+            wr = jnp.concatenate([ru[..., None], rv[..., None], rx], axis=-1)
+            ur = (tr_ - wr) * socm[..., None]
+            # link rows: zero cone — w = 0, dual accumulates
+            tl = alpha * f_link + st.ul
+            wl = jnp.zeros_like(tl)
+            ul = tl
+            # W >= 0 slot
+            tp = relax_mix(sW * Ws, st.wp) + st.up
+            wp = jnp.maximum(tp, 0.0)
+            up = tp - wp
+
+            core = ADMMStateCore(
+                w1=w1, w2=w2, w3=w3, w4=w4, wsoc=wsoc, wbox=wbox,
+                wa=wa, wb=wb, wc=wc,
+                u1=u1, u2=u2, u3=u3, u4=u4, usoc=usoc, ubox=ubox,
+                ua=ua, ub=ub, uc=uc,
+                X=Xs, Y=Y, Th=Ths, U=U, rho=rho_b,
+            )
+            return ShorADMMState(core=core, W=Ws, v1=v1, v2=v2, v3=v3,
+                                 w5=w5, u5=u5, wr=wr, ur=ur, wl=wl, ul=ul,
+                                 wp=wp, up=up)
+
+        # tail-averaged dual outputs (see omc.sdp.admm)
+        navg = max(1, iters // 4)
+
+        def body_acc(it, carry):
+            st, acc = carry
+            st = body(it, st)
+            take = (it >= iters - navg)
+            w = jnp.where(take, 1.0, 0.0).astype(dtype)
+            rb = st.core.rho
+            rb3 = rb[:, None, None]
+            acc = (
+                acc[0] + w * rb3 * st.core.u1, acc[1] + w * rb3 * st.core.u2,
+                acc[2] + w * rb3 * st.core.ua, acc[3] + w * rb3 * st.core.ub,
+                acc[4] + w * rb[:, None] * st.core.uc,
+                acc[5] + w * rb[:, None, None, None] * st.u5,
+                acc[6] + w * rb3 * st.ur,
+                acc[7] + w * rb[:, None] * st.ul,
+            )
+            return st, acc
+
+        acc0 = (
+            jnp.zeros_like(state.core.u1), jnp.zeros_like(state.core.u2),
+            jnp.zeros_like(state.core.ua), jnp.zeros_like(state.core.ub),
+            jnp.zeros_like(state.core.uc), jnp.zeros_like(state.u5),
+            jnp.zeros_like(state.ur), jnp.zeros_like(state.ul),
+        )
+        state, acc = jax.lax.fori_loop(0, iters, body_acc, (state, acc0))
+
+        c0 = state.core
+        Msep = jnp.einsum("bik,bjk->bij", c0.U, c0.U) - c0.Y
+        Msep = 0.5 * (Msep + jnp.swapaxes(Msep, -1, -2))
+        sep_w, sep_V = jnp.linalg.eigh(Msep)
+        inv = 1.0 / navg
+        out = {
+            "X": sX * c0.X, "Y": c0.Y, "Th": sT * c0.Th, "U": c0.U,
+            "W": sW * state.W,
+            "y1": inv * acc[0], "y2": inv * acc[1],
+            "ya": inv * acc[2], "yb": inv * acc[3], "yc": inv * acc[4],
+            "y5": inv * acc[5], "yr": inv * acc[6], "yl": inv * acc[7],
+            "sep_w": sep_w[..., :2], "sep_V": sep_V[..., :, :2],
+        }
+        return state, out
+
+    return jax.jit(solve) if jit else solve
+
+
+# ---------------------------------------------------------------------------
+# Host-side certified bound for the Shor-strengthened relaxation
+# ---------------------------------------------------------------------------
+
+
+def _np_psd(M):
+    M = 0.5 * (M + np.swapaxes(M, -1, -2))
+    w, V = np.linalg.eigh(M)
+    return np.einsum("...ik,...k,...jk->...ij", V, np.maximum(w, 0.0), V)
+
+
+def _np_project_rsoc(u, v, x):
+    s2 = np.sqrt(2.0)
+    t = (u + v) / s2
+    s = (u - v) / s2
+    z = np.concatenate([s[..., None], x], axis=-1)
+    nz = np.linalg.norm(z, axis=-1)
+    inside = nz <= t
+    polar = nz <= -t
+    scale = np.where(nz > 0, 0.5 * (1.0 + t / np.where(nz > 0, nz, 1.0)), 0.0)
+    t_p = np.where(inside, t, np.where(polar, 0.0, 0.5 * (t + nz)))
+    z_p = np.where(inside[..., None], z,
+                   np.where(polar[..., None], 0.0, scale[..., None] * z))
+    u_p = (t_p + z_p[..., 0]) / s2
+    v_p = (t_p - z_p[..., 0]) / s2
+    return u_p, v_p, z_p[..., 1:]
+
+
+def host_certified_bound_shor(A, mask, batch: NodeBatch, sbh: ShorBatchHost,
+                              out: dict, gamma, ub_bar, margin_rel=1e-10):
+    """Float64 safe Lagrangian dual bound for the rank-1 Shor relaxation.
+
+    Kept sets (all provably containing the node's master-feasible points
+    with objective <= ub_bar): |X| <= R_X, W in [0, 2 gamma ub],
+    |V*| <= 2 gamma ub, Y in the spectrahedron, U in the box, Theta PSD
+    with trace <= 2 gamma ub.  Multipliers are cone-projected here, so the
+    result is valid for any solver state.
+    """
+    f = lambda a: np.asarray(a, dtype=np.float64)
+    A = f(A)
+    mask = f(mask)
+    n, m = A.shape
+    B = out["y1"].shape[0]
+    k = 1
+    T_th = 2.0 * gamma * ub_bar
+    R_X = np.sqrt(T_th)
+    Wmax = T_th
+    Vmax = T_th
+
+    S1 = _np_psd(-f(out["y1"]))
+    S2 = _np_psd(-f(out["y2"]))
+    P1, q, R1 = S1[:, :n, :n], S1[:, :n, n:], S1[:, n:, n:]
+    P2, D, E = S2[:, :n, :n], S2[:, :n, n:], S2[:, n:, n:]
+
+    cmask = f(batch.cut_mask)
+    alpha = np.maximum(-f(out["ya"]), 0.0) * cmask[..., None]
+    beta = np.maximum(-f(out["yb"]), 0.0) * cmask[..., None]
+    lam = np.maximum(-f(out["yc"]), 0.0) * cmask
+    cut_x = f(batch.cut_x)
+    lo, hi = f(batch.cut_lo), f(batch.cut_hi)
+    c = lo + hi
+    bconst = np.sum(-lo * hi, axis=-1)
+
+    m5m = f(sbh.minor_mask)
+    S5 = _np_psd(-f(out["y5"])) * m5m[..., None, None]
+    socm = f(sbh.soc_mask)
+    dr = -f(out["yr"])
+    a_r, b_r, c_r = _np_project_rsoc(dr[..., 0], dr[..., 1], dr[..., 2:])
+    c_r = c_r[..., 0]
+    a_r, b_r, c_r = a_r * socm, b_r * socm, c_r * socm
+    mu = -f(out["yl"])  # (B, m), free
+
+    # ---- Y / U / cut terms (as in the base bound) ----
+    G_Y = -(P1 + P2) + np.einsum("bl,bln,blp->bnp", lam, cut_x, cut_x)
+    G_Y = 0.5 * (G_Y + np.swapaxes(G_Y, -1, -2))
+    y_term = np.sum(np.minimum(np.linalg.eigh(G_Y)[0][..., :k], 0.0), axis=-1)
+
+    W_U = -2.0 * D - np.einsum(
+        "bln,blk->bnk", cut_x, alpha - beta + lam[..., None] * c
+    )
+    U_lo, U_hi = f(batch.U_lo), f(batch.U_hi)
+    u_term = np.sum(np.minimum(W_U * U_lo, W_U * U_hi), axis=(-2, -1))
+
+    cut_const = (
+        np.sum(alpha * lo, axis=(-2, -1))
+        - np.sum(beta * hi, axis=(-2, -1))
+        - np.sum(lam * bconst, axis=-1)
+    )
+
+    # ---- Theta ----
+    G_Th = (0.5 / gamma) * np.eye(m)[None] - R1 - mu[:, None, :] * np.eye(m)[None]
+    G_Th = 0.5 * (G_Th + np.swapaxes(G_Th, -1, -2))
+    th_term = T_th * np.minimum(np.linalg.eigh(G_Th)[0][..., 0], 0.0)
+
+    # ---- X / W / V coefficient assembly (scatter the minor duals) ----
+    i1 = sbh.minor_idx[..., 0]
+    i2 = sbh.minor_idx[..., 1]
+    j1 = sbh.minor_idx[..., 2]
+    j2 = sbh.minor_idx[..., 3]
+    fl = (i1 * m + j1, i1 * m + j2, i2 * m + j1, i2 * m + j2)
+    coef_X = (
+        np.broadcast_to((-mask * A)[None], (B, n, m)).reshape(B, -1)
+        - 2.0 * q.reshape(B, -1)
+    )
+    coef_W = np.broadcast_to((0.5 * mask)[None], (B, n, m)).copy()
+    coef_W = (coef_W + mu[:, None, :]).reshape(B, -1)
+    bidx = np.arange(B)[:, None]
+    for fi, col in zip(fl, (1, 2, 3, 4)):
+        np.add.at(coef_X, (bidx, fi), -2.0 * S5[..., 0, col])
+        np.add.at(coef_W, (bidx, fi), -S5[..., col, col])
+    sflat = sbh.soc_idx[..., 0] * m + sbh.soc_idx[..., 1]
+    np.add.at(coef_X, (bidx, sflat), -c_r)
+    np.add.at(coef_W, (bidx, sflat), -b_r)
+
+    P1cap = sbh.cnt_v1.shape[1]
+    coef_v1 = np.zeros((B, P1cap))
+    coef_v2 = np.zeros((B, sbh.cnt_v2.shape[1]))
+    coef_v3 = np.zeros((B, sbh.cnt_v3.shape[1]))
+    np.add.at(coef_v1, (bidx, sbh.iv1a), -2.0 * S5[..., 1, 2])
+    np.add.at(coef_v1, (bidx, sbh.iv1b), -2.0 * S5[..., 3, 4])
+    np.add.at(coef_v2, (bidx, sbh.iv2a), -2.0 * S5[..., 1, 3])
+    np.add.at(coef_v2, (bidx, sbh.iv2b), -2.0 * S5[..., 2, 4])
+    np.add.at(coef_v3, (bidx, sbh.iv3), -2.0 * (S5[..., 1, 4] + S5[..., 2, 3]))
+
+    x_term = -R_X * np.sum(np.abs(coef_X), axis=-1)
+    w_term = Wmax * np.sum(np.minimum(coef_W, 0.0), axis=-1)
+    v_term = -Vmax * (
+        np.sum(np.abs(coef_v1), axis=-1)
+        + np.sum(np.abs(coef_v2), axis=-1)
+        + np.sum(np.abs(coef_v3), axis=-1)
+    )
+
+    const = (
+        0.5 * np.sum(mask * A * A)
+        - np.sum(S5[..., 0, 0], axis=-1)
+        - 0.5 * np.sum(a_r, axis=-1)
+        - np.trace(E, axis1=-2, axis2=-1)
+        + cut_const
+    )
+
+    lb = y_term + u_term + th_term + x_term + w_term + v_term + const
+    scale = (
+        1.0 + np.abs(lb) + ub_bar
+        + np.sqrt(np.sum(S1 * S1, axis=(-2, -1)))
+        + np.sqrt(np.sum(S2 * S2, axis=(-2, -1)))
+        + np.sqrt(np.sum(S5 * S5, axis=(-3, -2, -1)))
+    )
+    return lb - margin_rel * scale

@@ -436,49 +436,46 @@ def safe_dual_bound(xp, A, mask, batch, y1, y2, ya, yb, yc, gamma, k, ub_bar,
     return lb - margin_rel * scale
 
 
-def state_slice_to_host(state, i: int, compress=np.float32) -> dict:
-    """Extract node ``i``'s slice of a batch solver state (PDHGState or
-    ADMMState) as compressed host arrays for the parent warm-start cache.
+def state_slice_to_host(state, i: int, compress=np.float32) -> list:
+    """Extract node ``i``'s slice of a batch solver state (any solver-state
+    pytree: PDHGState, ADMMState, ShorADMMState) as a flat list of
+    compressed host arrays for the parent warm-start cache.
 
     float32 keeps the warm-start error (~1e-7) below the bound-accuracy
     target; float16's ~1e-3 error was observed to cap the accuracy that can
     accumulate down a warm-started chain of nodes."""
-    return {
-        f: np.asarray(getattr(state, f)[i]).astype(compress)
-        for f in type(state)._fields
-    }
+    return [np.asarray(x[i]).astype(compress) for x in jax.tree.leaves(state)]
 
 
 def assemble_warm_state(template, slices):
-    """Build a batch solver state from per-node host slice dicts.
+    """Build a batch solver state from per-node host slice lists.
 
     ``template`` is a full-shape zero (or fallback) state of the right type;
     slice entries override per node.  A slice may come from a solve with a
-    different cut capacity L' != L: fields whose trailing shape differs only
-    in the leading (cut) axis are copied row-truncated/zero-padded — rows
-    past a node's real cut count are zero (masked), so this is lossless.
-    Missing fields (e.g. a slice produced by the other solver type) keep the
-    template's values.
+    different cut/minor capacity: leaves whose shape differs only in the
+    leading axis are copied row-truncated/zero-padded — rows past a node's
+    real count are zero (masked), so this is lossless.  Structurally
+    incompatible slices keep the template's values.
     """
-    cls = type(template)
-    fields = {}
-    for name in cls._fields:
-        base = np.asarray(getattr(template, name)).copy()
+    leaves, treedef = jax.tree.flatten(template)
+    outs = []
+    for li, leaf in enumerate(leaves):
+        base = np.asarray(leaf).copy()
         tgt = base.shape[1:]  # per-node shape
         for i, sl in enumerate(slices):
-            if sl is None or name not in sl:
+            if sl is None or li >= len(sl):
                 continue
-            v = np.asarray(sl[name], dtype=base.dtype)
+            v = np.asarray(sl[li], dtype=base.dtype)
             if v.shape == tgt:
                 base[i] = v
-            elif v.ndim == len(tgt) and v.shape[1:] == tgt[1:] and len(tgt) >= 1:
+            elif v.ndim == len(tgt) and len(tgt) >= 1 and v.shape[1:] == tgt[1:]:
                 r = min(tgt[0], v.shape[0])
                 base[i][:r] = v[:r]
                 if r < tgt[0]:
                     base[i][r:] = 0.0
-            # else: incompatible field — keep template value
-        fields[name] = jnp.asarray(base)
-    return cls(**fields)
+            # else: incompatible leaf — keep template value
+        outs.append(jnp.asarray(base))
+    return jax.tree.unflatten(treedef, outs)
 
 
 def host_certified_bound(A, mask, batch: NodeBatch, out: dict, gamma, k, ub_bar):

@@ -43,6 +43,13 @@ from omc.config import SolverConfig
 from omc.problem import compute_MSE, evaluate_objective
 from omc.sdp.cuts import region_bounds
 from omc.sdp.admm import init_admm_state, make_admm_solver
+from omc.sdp.admm_shor import (
+    host_certified_bound_shor,
+    init_shor_state,
+    make_shor_solver,
+    shor_batch_to_device,
+)
+from omc.sdp.shor_encode import pack_shor_batch
 from omc.sdp.relax import (
     NodeBatch,
     assemble_warm_state,
@@ -141,10 +148,12 @@ def matrix_completion_branchandbound(
         raise NotImplementedError(
             "McCormick path (use_disjunctive_cuts=False) lands in a later increment."
         )
-    if cfg.add_Shor_valid_inequalities:
+    if cfg.add_Shor_valid_inequalities and k != 1:
         raise NotImplementedError(
-            "Shor valid inequalities land in a later increment."
+            "Shor valid inequalities currently support the rank-1 path "
+            "(the reference's k>1 Xt-split variant lands in a later increment)."
         )
+    use_shor = cfg.add_Shor_valid_inequalities
 
     mask = indices.astype(np.float64)
     rng = np.random.default_rng(cfg.seed)
@@ -295,6 +304,25 @@ def matrix_completion_branchandbound(
         resume_payload = load_checkpoint(cfg.checkpoint_path)
 
     root_shor = None
+    if use_shor:
+        if not cfg.add_Shor_valid_inequalities_iterative:
+            all_minors = shor_mod.generate_rank1_matrix_completion_Shor_constraints_indexes(
+                indices,
+                list(cfg.Shor_valid_inequalities_noisy_rank1_num_entries_present),
+            )
+            frac = cfg.add_Shor_valid_inequalities_fraction
+            if frac is not None and frac < 1.0:
+                keep = rng.random(len(all_minors)) < frac
+                all_minors = [mm for mm, kp in zip(all_minors, keep) if kp]
+            root_shor = ShorInfo(
+                constraints_indexes=all_minors,
+                SOC_constraints_indexes=shor_mod.shor_soc_complement(n, m, all_minors),
+            )
+        else:
+            root_shor = ShorInfo(
+                constraints_indexes=[],
+                SOC_constraints_indexes=[(i, j) for i in range(n) for j in range(m)],
+            )
     root = BBNode(
         node_id=1, parent_id=0, U_lower=root_lo, U_upper=root_hi,
         LB=-np.inf, depth=0, cuts=[], Shor_info=root_shor,
@@ -382,7 +410,7 @@ def matrix_completion_branchandbound(
         while len(state_cache) > state_cache_max:
             state_cache.popitem(last=False)
 
-    def _template(L):
+    def _template(L, M5=None):
         """Fallback state: the incumbent primal (feasible for every node's
         core cones), zero duals."""
         U0 = solution["U"]
@@ -390,20 +418,42 @@ def matrix_completion_branchandbound(
         V0 = U0.T @ X0
         kw = dict(X0=X0[None], Y0=(U0 @ U0.T)[None],
                   Th0=(V0.T @ V0)[None], U0=U0[None])
+        if use_shor:
+            return init_shor_state(
+                B, n, m, k, L, M5, n * m, dtype=dtype, sX=sX, sT=sT,
+                rho=cfg.sdp_rho, **kw
+            )
         if cfg.sdp_method == "admm":
             return init_admm_state(
                 B, n, m, k, L, dtype=dtype, sX=sX, sT=sT, rho=cfg.sdp_rho, **kw
             )
         return init_state(B, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
 
-    def warm_state(nodes: List[BBNode], L):
+    def warm_state(nodes: List[BBNode], L, M5=None):
         # own state (refinement visits) takes precedence over the parent's
         slices = [
             state_cache.get(nd.node_id) or state_cache.get(nd.parent_id)
             for nd in nodes
         ]
         slices += [None] * (B - len(nodes))
-        return assemble_warm_state(_template(L), slices)
+        return assemble_warm_state(_template(L, M5), slices)
+
+    _M5_BUCKETS = (64, 256, 1024, 4096)
+
+    def _m5_bucket(need: int) -> int:
+        for b in _M5_BUCKETS:
+            if need <= b:
+                return b
+        raise ValueError(f"Shor minor count {need} exceeds the largest bucket")
+
+    def get_shor_solver(L, M5):
+        key = ("shor", L, M5)
+        if key not in solvers:
+            solvers[key] = make_shor_solver(
+                n, m, L, M5, n * m, gamma, iters=cfg.sdp_iters, dtype=dtype,
+                sX=sX, sT=sT,
+            )
+        return solvers[key]
 
     # ------------------------------------------------------------------
     # Main batched branch-and-bound loop (reference lines 700-1073)
@@ -440,10 +490,30 @@ def matrix_completion_branchandbound(
         ub_bar = tree.best_upper_bound * (1.0 + 1e-9) + 1e-9
 
         t0 = time.time()
-        state0 = warm_state(work, L)
-        fin_state, out = get_solver(L)(A_dev, mask_dev, batch, ub_bar, state0)
-        out = {key: np.asarray(val) for key, val in out.items()}
-        lbs = host_certified_bound(A, mask, batch, out, gamma, k, ub_bar)
+        if use_shor:
+            M5 = _m5_bucket(
+                max(1, max(len(nd.Shor_info.constraints_indexes) for nd in work))
+            )
+            sbh = pack_shor_batch(
+                n, m,
+                [nd.Shor_info.constraints_indexes for nd in work]
+                + [[]] * (B - len(work)),
+                [nd.Shor_info.SOC_constraints_indexes for nd in work]
+                + [[]] * (B - len(work)),
+                M5, n * m,
+            )
+            sb_dev = shor_batch_to_device(sbh, dtype)
+            state0 = warm_state(work, L, M5)
+            fin_state, out = get_shor_solver(L, M5)(
+                A_dev, mask_dev, batch, sb_dev, ub_bar, state0
+            )
+            out = {key: np.asarray(val) for key, val in out.items()}
+            lbs = host_certified_bound_shor(A, mask, batch, sbh, out, gamma, ub_bar)
+        else:
+            state0 = warm_state(work, L)
+            fin_state, out = get_solver(L)(A_dev, mask_dev, batch, ub_bar, state0)
+            out = {key: np.asarray(val) for key, val in out.items()}
+            lbs = host_certified_bound(A, mask, batch, out, gamma, k, ub_bar)
         t_relax = time.time() - t0
         solve_time_relaxation += t_relax
 
@@ -550,6 +620,35 @@ def matrix_completion_branchandbound(
                 node = work[i]
                 census["nodes_relax_feasible_split"] += 1
                 _cache_put(node.node_id, state_slice_to_host(fin_state, i))
+                # iterative Shor-minor growth (reference lines 956-970,
+                # 2495-2518): with decaying probability, append the
+                # top-scoring violated 2x2 minors to the children
+                new_shor = None
+                if use_shor and cfg.add_Shor_valid_inequalities_iterative:
+                    p_shor = _decayed_probability(
+                        node.depth,
+                        cfg.max_update_Shor_indices_probability,
+                        cfg.min_update_Shor_indices_probability,
+                        cfg.update_Shor_indices_probability_decay_rate,
+                    )
+                    if rng.random() < p_shor:
+                        scored = shor_mod.generate_violated_Shor_minors(
+                            out["X"][i].astype(np.float64), indices,
+                            list(cfg.Shor_valid_inequalities_noisy_rank1_num_entries_present),
+                            node.Shor_info.constraints_indexes,
+                            cfg.update_Shor_indices_n_minors,
+                        )
+                        fresh = [mm for _, mm in scored]
+                        merged = list(node.Shor_info.constraints_indexes) + [
+                            mm for mm in fresh
+                            if mm not in set(node.Shor_info.constraints_indexes)
+                        ]
+                        new_shor = ShorInfo(
+                            constraints_indexes=merged,
+                            SOC_constraints_indexes=shor_mod.shor_soc_complement(
+                                n, m, merged
+                            ),
+                        )
                 children = create_matrix_cut_child_nodes(
                     node,
                     cfg.disjunctive_cuts_type,
@@ -559,12 +658,26 @@ def matrix_completion_branchandbound(
                     U_relax=out["U"][i],
                     counter=tree.counter,
                     objective_relax=node.LB,
+                    new_Shor_info=new_shor,
                 )
                 tree.add_nodes(children, node.LB)
 
         tree.prune_dominated()
         lower_bounds_updated = tree.update_lower_bound()
         tree.now_gap = compute_gap(tree.best_lower_bound, tree.best_upper_bound)
+
+        if os.environ.get("OMC_DEBUG"):
+            import sys as _sys
+            reals = lbs[: len(work)]
+            _sys.stderr.write(
+                f"[dbg] step: work={len(work)} L={L} lb=[{np.min(reals):.6f},"
+                f"{np.max(reals):.6f}] depths=[{min(nd.depth for nd in work)},"
+                f"{max(nd.depth for nd in work)}] refines="
+                f"{[nd.refines for nd in work[:8]]} split={len(split_nodes)} "
+                f"qmin={tree.min_queued_lb():.6f} floor={tree.closed_lb_floor:.6f} "
+                f"GLB={tree.best_lower_bound:.6f}\n"
+            )
+            _sys.stderr.flush()
 
         print_now = (
             lower_bounds_updated

@@ -147,6 +147,7 @@ def test_warm_state_roundtrip_and_padding():
     # fill with recognizable values
     st = st._replace(wa=jnp.ones((3, 4, k)) * 2.5, Y=jnp.ones((3, n, n)) * 1.5)
     sl = state_slice_to_host(st, 1)
+    assert isinstance(sl, list) and all(isinstance(a, np.ndarray) for a in sl)
     template = init_admm_state(2, n, m, k, 8, jnp.float64)  # larger L
     asm = assemble_warm_state(template, [sl, None])
     assert np.allclose(np.asarray(asm.Y[0]), 1.5)
