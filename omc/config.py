@@ -58,6 +58,9 @@ class SolverConfig:
     sdp_iters: int = 400  # solver iterations per relaxation super-step
     sdp_omega: float = 3.0  # PDHG primal/dual step balance
     sdp_rho: float = 0.03  # ADMM penalty parameter
+    # the McCormick relaxation (equality orthogonality rows) converges much
+    # faster with a large penalty; measured sweep in tests/test_mccormick.py
+    sdp_rho_mccormick: float = 10.0
     sdp_alpha: float = 1.6  # ADMM over-relaxation
     # bound refinement: requeue a node (continuing from its own solver
     # state) instead of splitting while one more solve could close more
@@ -89,6 +92,10 @@ class SolverConfig:
                     '"smallest_1_eigvec" or "smallest_2_eigvec"; '
                     f"{self.disjunctive_cuts_breakpoints} supplied instead."
                 )
+        if not self.use_disjunctive_cuts:
+            # null inapplicable knobs before echoing (reference lines 264-330)
+            object.__setattr__(self, "disjunctive_cuts_type", None)
+            object.__setattr__(self, "disjunctive_cuts_breakpoints", None)
         if self.node_selection not in _NODE_SELECTIONS:
             raise ValueError(
                 "Invalid input for node selection. Node selection must be either "

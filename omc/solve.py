@@ -49,6 +49,14 @@ from omc.sdp.admm_shor import (
     make_shor_solver,
     shor_batch_to_device,
 )
+from omc.sdp.mccormick import (
+    MCBatch,
+    host_certified_bound_mc,
+    init_mc_state,
+    make_mccormick_solver,
+    master_feasible_mccormick,
+    mccormick_box_feasible,
+)
 from omc.sdp.shor_encode import pack_shor_batch
 from omc.sdp.relax import (
     NodeBatch,
@@ -144,10 +152,7 @@ def matrix_completion_branchandbound(
         raise ValueError(
             f"Input matrix A must have size (n, m) with n <= m. Current size is {A.shape}."
         )
-    if not cfg.use_disjunctive_cuts:
-        raise NotImplementedError(
-            "McCormick path (use_disjunctive_cuts=False) lands in a later increment."
-        )
+    use_mccormick = not cfg.use_disjunctive_cuts
     if cfg.add_Shor_valid_inequalities and k != 1:
         raise NotImplementedError(
             "Shor valid inequalities currently support the rank-1 path "
@@ -383,6 +388,14 @@ def matrix_completion_branchandbound(
     sX = max(1.0, float(np.max(np.abs(A))))
     sT = max(1.0, 2.0 * gamma * objective_initial / (4.0 * m))
 
+    def get_mc_solver():
+        if "mc" not in solvers:
+            solvers["mc"] = make_mccormick_solver(
+                n, m, k, gamma, iters=cfg.sdp_iters, dtype=dtype,
+                rho=cfg.sdp_rho_mccormick, alpha=cfg.sdp_alpha, sX=sX, sT=sT,
+            )
+        return solvers["mc"]
+
     def get_solver(L):
         if L not in solvers:
             if cfg.sdp_method == "admm":
@@ -418,6 +431,11 @@ def matrix_completion_branchandbound(
         V0 = U0.T @ X0
         kw = dict(X0=X0[None], Y0=(U0 @ U0.T)[None],
                   Th0=(V0.T @ V0)[None], U0=U0[None])
+        if use_mccormick:
+            return init_mc_state(
+                B, n, m, k, dtype=dtype, sX=sX, sT=sT,
+                rho=cfg.sdp_rho_mccormick, **kw
+            )
         if use_shor:
             return init_shor_state(
                 B, n, m, k, L, M5, n * m, dtype=dtype, sX=sX, sT=sT,
@@ -472,11 +490,22 @@ def matrix_completion_branchandbound(
         if not popped:
             break
 
-        # dominance pre-check (reference lines 725-728)
+        # dominance pre-check (reference lines 725-728) and, on the
+        # McCormick path, the relaxation box-feasibility pre-check
+        # (reference lines 731-742; here a sound interval-arithmetic
+        # certificate instead of a per-node Mosek feasibility LP)
         work: List[BBNode] = []
         for node in popped:
             if node.LB > tree.best_upper_bound:
                 census["nodes_dominated"] += 1
+            elif use_mccormick:
+                t0 = time.time()
+                feas = mccormick_box_feasible(node.U_lower, node.U_upper)
+                solve_time_relaxation_feasibility += time.time() - t0
+                if not feas:
+                    census["nodes_relax_infeasible"] += 1
+                else:
+                    work.append(node)
             else:
                 work.append(node)
         if not work:
@@ -484,13 +513,24 @@ def matrix_completion_branchandbound(
             add_update(echo_row=False)
             continue
 
-        L_need = max(1, max(len(nd.cuts) for nd in work))
+        L_need = max(1, max(len(nd.cuts) for nd in work)) if not use_mccormick else 1
         L = _l_bucket(L_need)
         batch = _pack_batch(work, B, L, n, k, cfg.disjunctive_cuts_type, np_dtype)
         ub_bar = tree.best_upper_bound * (1.0 + 1e-9) + 1e-9
 
         t0 = time.time()
-        if use_shor:
+        if use_mccormick:
+            mc_batch = MCBatch(U_lo=batch.U_lo, U_hi=batch.U_hi)
+            state0 = warm_state(work, L)
+            fin_state, out = get_mc_solver()(
+                A_dev, mask_dev, mc_batch, ub_bar, state0
+            )
+            out = {key: np.asarray(val) for key, val in out.items()}
+            lbs = host_certified_bound_mc(
+                A, mask, np.asarray(batch.U_lo, np.float64),
+                np.asarray(batch.U_hi, np.float64), out, gamma, k, ub_bar,
+            )
+        elif use_shor:
             M5 = _m5_bucket(
                 max(1, max(len(nd.Shor_info.constraints_indexes) for nd in work))
             )
@@ -536,7 +576,12 @@ def matrix_completion_branchandbound(
                 census["nodes_relax_feasible_pruned"] += 1
                 continue
 
-            master_feasible = bool(out["sep_w"][i, 0] >= -1e-6)
+            if use_mccormick:
+                master_feasible = master_feasible_mccormick(
+                    out["Y"][i], out["U"][i], out["X"][i], out["Th"][i]
+                )
+            else:
+                master_feasible = bool(out["sep_w"][i, 0] >= -1e-6)
             if master_feasible:
                 node.master_feasible = True
                 census["nodes_master_feasible"] += 1
@@ -620,6 +665,12 @@ def matrix_completion_branchandbound(
                 node = work[i]
                 census["nodes_relax_feasible_split"] += 1
                 _cache_put(node.node_id, state_slice_to_host(fin_state, i))
+                if use_mccormick:
+                    children = create_mccormick_child_nodes(
+                        node, tree.counter, node.LB
+                    )
+                    tree.add_nodes(children, node.LB)
+                    continue
                 # iterative Shor-minor growth (reference lines 956-970,
                 # 2495-2518): with decaying probability, append the
                 # top-scoring violated 2x2 minors to the children

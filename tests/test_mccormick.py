@@ -1,0 +1,180 @@
+"""McCormick-path (use_disjunctive_cuts=False) correctness tests.
+
+Covers: envelope coefficients, the interval feasibility certificate
+(reference feasibility model at lines 1294-1429), the master-feasibility
+oracle's McCormick branch (lines 1278-1291), weak duality / tightness of
+the certified bound, and an end-to-end bisection B&B certifying the same
+optimum as the disjunctive path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from omc.data import generate_matrix_completion_data
+from omc.problem import evaluate_objective
+from omc.sdp.mccormick import (
+    MCBatch,
+    host_certified_bound_mc,
+    init_mc_state,
+    make_mccormick_solver,
+    master_feasible_mccormick,
+    mccormick_box_feasible,
+    mccormick_coeffs,
+    pair_indices,
+    t_corner_box,
+)
+from omc.tree import root_box
+
+
+def _instance(n=8, m=8, k=1, gamma=40.0, frac=0.6, seed=0):
+    A, idx = generate_matrix_completion_data(k, n, m, int(round(frac * n * m)), seed)
+    return A, idx.astype(np.float64)
+
+
+def _master_point(A, mask, gamma, k, seed=1):
+    n, m = A.shape
+    rng = np.random.default_rng(seed)
+    U, _ = np.linalg.qr(rng.standard_normal((n, k)))
+    if k == 1 and U[-1, 0] < 0:
+        U = -U
+    G = np.einsum("nk,nm,nl->mkl", U, mask, U) + (1 / gamma) * (U.T @ U)[None]
+    V = np.linalg.solve(G, ((U.T @ (mask * A)).T)[..., None])[..., 0].T
+    X = U @ V
+    obj = float(evaluate_objective(X, A, mask, U, gamma))
+    return X, U @ U.T, V.T @ V, U, obj
+
+
+def test_envelope_and_corner_box_valid():
+    """All four envelope rows are >= 0 and t lies in the corner box at
+    t = U_j1 * U_j2 for any U in the box."""
+    rng = np.random.default_rng(0)
+    n, k = 6, 3
+    J1, J2 = pair_indices(k)
+    lo = rng.uniform(-1, 0, (n, k))
+    hi = rng.uniform(0, 1, (n, k))
+    U = rng.uniform(lo, hi)
+    t = U[:, J1] * U[:, J2]
+    s, c1, c2, d = mccormick_coeffs(lo, hi, J1, J2, xp=np)
+    w = s * t[None] + c1 * U[:, J1][None] + c2 * U[:, J2][None] + d
+    assert np.all(w >= -1e-12)
+    t_lo, t_hi = t_corner_box(lo, hi, J1, J2, xp=np)
+    assert np.all(t_lo - 1e-12 <= t) and np.all(t <= t_hi + 1e-12)
+
+
+def test_box_feasibility_certificate():
+    n, k = 8, 1
+    lo, hi = root_box(n, k)
+    assert mccormick_box_feasible(lo, hi)
+    # all coords pinned near 0: sum of squares cannot reach 1 -> infeasible
+    assert not mccormick_box_feasible(
+        np.full((n, k), 0.0), np.full((n, k), 0.1)
+    )
+    # a unit vector's point box is feasible
+    u = np.ones((n, 1)) / np.sqrt(n)
+    assert mccormick_box_feasible(u - 1e-6, u + 1e-6)
+    # box that forces column norm > 1 -> infeasible via the SOC check
+    assert not mccormick_box_feasible(
+        np.full((n, k), 0.9), np.full((n, k), 1.0)
+    )
+
+
+def test_master_feasible_mccormick():
+    A, mask = _instance()
+    X, Y, Th, U, obj = _master_point(A, mask, 40.0, 1)
+    assert master_feasible_mccormick(Y, U, X, Th)
+    # non-orthonormal U fails the U'U = I check
+    assert not master_feasible_mccormick(Y, 1.1 * U, X, Th)
+    # Y missing mass fails Y - UU' >= 0
+    assert not master_feasible_mccormick(0.5 * Y, U, X, Th)
+
+
+def test_weak_duality_and_tightness():
+    """Certified bound <= master objective at the root box; near-tight on a
+    point box (the relaxation collapses to the master problem there)."""
+    A, mask = _instance()
+    n, m, k, gamma = 8, 8, 1, 40.0
+    X, Y, Th, U, obj = _master_point(A, mask, gamma, k)
+    ub_bar = obj * (1 + 1e-9)
+    lo, hi = root_box(n, k)
+
+    solver = make_mccormick_solver(n, m, k, gamma, iters=1200,
+                                   dtype=jnp.float64, rho=10.0)
+
+    batch = MCBatch(U_lo=jnp.asarray(lo[None]), U_hi=jnp.asarray(hi[None]))
+    st = init_mc_state(1, n, m, k, jnp.float64, rho=10.0)
+    _, out = solver(jnp.asarray(A), jnp.asarray(mask), batch, ub_bar, st)
+    out = {kk: np.asarray(v) for kk, v in out.items()}
+    lb_root = float(
+        host_certified_bound_mc(A, mask, lo[None], hi[None], out, gamma, k, ub_bar)[0]
+    )
+    assert -np.inf < lb_root <= obj + 1e-9
+
+    eps = 1e-5
+    lo_t = np.maximum(U - eps, lo)
+    hi_t = np.minimum(U + eps, hi)
+    solver_t = make_mccormick_solver(n, m, k, gamma, iters=12000,
+                                     dtype=jnp.float64, rho=30.0)
+    batch_t = MCBatch(U_lo=jnp.asarray(lo_t[None]), U_hi=jnp.asarray(hi_t[None]))
+    st = init_mc_state(1, n, m, k, jnp.float64, rho=30.0)
+    _, out_t = solver_t(jnp.asarray(A), jnp.asarray(mask), batch_t, ub_bar, st)
+    out_t = {kk: np.asarray(v) for kk, v in out_t.items()}
+    lb_t = float(
+        host_certified_bound_mc(
+            A, mask, lo_t[None], hi_t[None], out_t, gamma, k, ub_bar
+        )[0]
+    )
+    assert lb_t <= obj + 1e-9
+    # near-tight at the point box (first-order tail: ~7% at this budget)
+    assert lb_t >= obj - 0.10 * abs(obj)
+
+
+def test_weak_duality_k2():
+    """Rank-2 exercises the q = 3 pair machinery."""
+    A, mask = _instance(k=2, frac=0.8, seed=3)
+    n, m, k, gamma = 8, 8, 2, 40.0
+    X, Y, Th, U, obj = _master_point(A, mask, gamma, k, seed=4)
+    ub_bar = obj * (1 + 1e-9)
+    lo = -np.ones((n, k))
+    hi = np.ones((n, k))
+    solver = make_mccormick_solver(n, m, k, gamma, iters=800,
+                                   dtype=jnp.float64, rho=10.0)
+    batch = MCBatch(U_lo=jnp.asarray(lo[None]), U_hi=jnp.asarray(hi[None]))
+    st = init_mc_state(1, n, m, k, jnp.float64, rho=10.0)
+    _, out = solver(jnp.asarray(A), jnp.asarray(mask), batch, ub_bar, st)
+    out = {kk: np.asarray(v) for kk, v in out.items()}
+    lb = float(
+        host_certified_bound_mc(A, mask, lo[None], hi[None], out, gamma, k, ub_bar)[0]
+    )
+    # note: the master point need not respect the symmetry-breaking root
+    # box for k=2; use plain [-1, 1] boxes for this weak-duality check
+    assert -np.inf < lb <= obj + 1e-9
+
+
+@pytest.mark.slow
+def test_e2e_mccormick_matches_disjunctive():
+    n = m = 10
+    k, gamma = 1, 20.0
+    A, idx = generate_matrix_completion_data(k, n, m, int(0.8 * n * m), 0)
+    sol_mc, _, inst_mc = matrix_completion_branchandbound_lazy(
+        k, A, idx, gamma, use_disjunctive_cuts=False,
+    )
+    sol_dc, _, _ = matrix_completion_branchandbound_lazy(
+        k, A, idx, gamma, use_disjunctive_cuts=True,
+        disjunctive_cuts_type="linear",
+        disjunctive_cuts_breakpoints="smallest_1_eigvec",
+    )
+    assert inst_mc["run_log"][-1]["gap"] <= 1e-2
+    assert abs(sol_mc["objective"] - sol_dc["objective"]) <= 2e-6 * abs(
+        sol_dc["objective"]
+    )
+
+
+def matrix_completion_branchandbound_lazy(k, A, idx, gamma, **kw):
+    from omc.solve import matrix_completion_branchandbound
+
+    return matrix_completion_branchandbound(
+        k, A, idx, gamma, node_selection="bestfirst", gap=1e-2,
+        time_limit=240, batch_size=16, sdp_iters=1200, dtype="float64",
+        verbosity=0, **kw,
+    )
