@@ -443,8 +443,26 @@ def state_slice_to_host(state, i: int, compress=np.float32) -> list:
 
     float32 keeps the warm-start error (~1e-7) below the bound-accuracy
     target; float16's ~1e-3 error was observed to cap the accuracy that can
-    accumulate down a warm-started chain of nodes."""
+    accumulate down a warm-started chain of nodes.
+
+    NOTE: prefer ``state_to_host`` + ``host_state_slice`` when slicing many
+    nodes from the same batch — this per-node form issues one device->host
+    transfer per leaf per node, which is ruinous over a remote-device
+    (axon) tunnel."""
     return [np.asarray(x[i]).astype(compress) for x in jax.tree.leaves(state)]
+
+
+def state_to_host(state, compress=np.float32) -> list:
+    """Fetch a whole batch solver state to host: one transfer per leaf
+    (not per node).  Returns a flat list of (B, ...) host arrays."""
+    leaves = jax.tree.leaves(state)
+    host = jax.device_get(leaves)
+    return [np.asarray(x).astype(compress) for x in host]
+
+
+def host_state_slice(host_leaves: list, i: int) -> list:
+    """Node ``i``'s warm-start slice from ``state_to_host`` output."""
+    return [x[i] for x in host_leaves]
 
 
 def assemble_warm_state(template, slices):

@@ -62,9 +62,10 @@ from omc.sdp.relax import (
     NodeBatch,
     assemble_warm_state,
     host_certified_bound,
+    host_state_slice,
     init_state,
     make_solver,
-    state_slice_to_host,
+    state_to_host,
 )
 from omc.sdp import shor as shor_mod
 from omc.tree import BBNode, BBTree, ShorInfo, compute_gap, root_box
@@ -559,10 +560,16 @@ def matrix_completion_branchandbound(
 
         altmin_marked: List[int] = []  # indices into `work`
         split_nodes: List[int] = []
+        # one device->host transfer per state leaf (NOT per node) — per-node
+        # slicing over a remote-device tunnel costs a round trip per leaf
+        fin_host = state_to_host(fin_state)
 
         for i, node in enumerate(work):
             lb_prev = node.LB
-            lb_i = max(node.LB, float(lbs[i]))
+            computed = float(lbs[i])
+            prev_solver = node.lb_solver
+            node.lb_solver = computed
+            lb_i = max(node.LB, computed)
             node.LB = lb_i
             census["nodes_relax_feasible"] += 1
             dict_solve_times_relaxation.append({
@@ -599,17 +606,22 @@ def matrix_completion_branchandbound(
                     tree.closed_lb_floor = min(tree.closed_lb_floor, lb_i)
                     continue
 
-            # bound refinement: while one more solve could close more than
-            # refine_frac of the remaining local gap, requeue this node to
-            # continue from its own solver state rather than splitting
-            improvement = lb_i - lb_prev if np.isfinite(lb_prev) else np.inf
+            # bound refinement: requeue this node to continue from its own
+            # solver state rather than splitting while (a) the solver is
+            # still *behind* the inherited bound — its computed bound has
+            # not yet reached the parent's level, so the extra cut's
+            # strength is not measurable yet — or (b) one more solve could
+            # close more than refine_frac of the remaining local gap
+            behind = computed < lb_prev - 1e-9 * max(1.0, abs(lb_prev))
+            baseline = prev_solver if np.isfinite(prev_solver) else lb_prev
+            improvement = computed - baseline if np.isfinite(baseline) else np.inf
             local_gap = max(tree.best_upper_bound - lb_i, 0.0)
             if (
                 node.refines < cfg.max_refines
-                and improvement > cfg.refine_frac * local_gap
+                and (behind or improvement > cfg.refine_frac * local_gap)
             ):
                 node.refines += 1
-                _cache_put(node.node_id, state_slice_to_host(fin_state, i))
+                _cache_put(node.node_id, host_state_slice(fin_host, i))
                 tree.requeue(node, lb_i)
                 continue
 
@@ -664,7 +676,7 @@ def matrix_completion_branchandbound(
             for i in split_nodes:
                 node = work[i]
                 census["nodes_relax_feasible_split"] += 1
-                _cache_put(node.node_id, state_slice_to_host(fin_state, i))
+                _cache_put(node.node_id, host_state_slice(fin_host, i))
                 if use_mccormick:
                     children = create_mccormick_child_nodes(
                         node, tree.counter, node.LB

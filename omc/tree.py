@@ -56,6 +56,9 @@ class BBNode:
     cuts: Optional[List[DisjunctiveCut]] = None  # None => McCormick path
     Shor_info: Optional[ShorInfo] = None
     refines: int = 0  # bound-refinement visits (TPU-native, see BBTree.requeue)
+    # last bound actually computed by the solver for THIS node (-inf before
+    # the first visit); distinct from LB, which is monotone and inherited
+    lb_solver: float = -np.inf
 
 
 class BBTree:
