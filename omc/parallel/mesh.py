@@ -85,6 +85,43 @@ def make_sharded_super_step(mesh: Mesh, n: int, m: int, k: int, L: int,
     return step
 
 
+def _shard_map():
+    try:
+        return jax.shard_map
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map
+
+
+def shard_solver(mesh: Mesh, solve):
+    """Wrap an *unjitted* batched node solver
+    ``solve(A, mask, batch, ub_bar, state) -> (state, out)`` so the node
+    axis of ``batch``/``state``/``out`` is sharded over the mesh's
+    ``"nodes"`` axis while problem data stays replicated.  The wrapped
+    function has the same signature as the single-device solver, so the
+    B&B driver is mesh-agnostic.  Works for the disjunctive-cuts ADMM
+    solver and the McCormick solver (every batch/state/out leaf leads with
+    the node axis)."""
+    rep = P()
+    sh = P("nodes")
+    step = _shard_map()(
+        solve, mesh=mesh, in_specs=(rep, rep, sh, rep, sh),
+        out_specs=(sh, sh),
+    )
+    return jax.jit(step)
+
+
+def node_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("nodes"))
+
+
+def put_sharded(mesh: Mesh, tree):
+    """Place a host-built pytree with the leading node axis sharded."""
+    sh = node_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
 def shard_batch(mesh: Mesh, batch: NodeBatch, state):
     """Place a host-built batch/state with the node axis sharded."""
     sh = NamedSharding(mesh, P("nodes"))

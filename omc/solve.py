@@ -384,6 +384,42 @@ def matrix_completion_branchandbound(
     solvers: Dict[int, object] = {}
     root_node_timeout = False
 
+    # ------------------------------------------------------------------
+    # Device mesh (BASELINE configs 4-5): shard the node-batch axis over
+    # the mesh's "nodes" axis; problem data (A, mask) replicates.  The
+    # reference has no parallelism at all (SURVEY.md section 2) — this is
+    # the TPU-native frontier-parallel layer.
+    # ------------------------------------------------------------------
+    mesh = None
+    if cfg.mesh_shape:
+        import jax as _jax
+
+        from omc.parallel.mesh import make_mesh, put_sharded, shard_solver
+
+        n_dev = int(np.prod(cfg.mesh_shape))
+        if n_dev > 1:
+            if B % n_dev != 0:
+                raise ValueError(
+                    f"batch_size {B} must be divisible by the mesh size {n_dev}"
+                )
+            if use_shor or cfg.sdp_method != "admm":
+                raise NotImplementedError(
+                    "mesh_shape currently supports the ADMM disjunctive-cuts "
+                    "and McCormick paths"
+                )
+            mesh = make_mesh(n_dev)
+
+    def _finalize(solve):
+        """Shard-map + jit under a mesh; plain jit otherwise."""
+        if mesh is not None:
+            return shard_solver(mesh, solve)
+        import jax as _jax
+
+        return _jax.jit(solve)
+
+    def _put(tree_):
+        return put_sharded(mesh, tree_) if mesh is not None else tree_
+
     # block variable scales for PDHG conditioning (see omc/sdp/relax.py);
     # chosen once from the data and the root upper bound
     sX = max(1.0, float(np.max(np.abs(A))))
@@ -391,19 +427,21 @@ def matrix_completion_branchandbound(
 
     def get_mc_solver():
         if "mc" not in solvers:
-            solvers["mc"] = make_mccormick_solver(
+            solvers["mc"] = _finalize(make_mccormick_solver(
                 n, m, k, gamma, iters=cfg.sdp_iters, dtype=dtype,
                 rho=cfg.sdp_rho_mccormick, alpha=cfg.sdp_alpha, sX=sX, sT=sT,
-            )
+                jit=False,
+            ))
         return solvers["mc"]
 
     def get_solver(L):
         if L not in solvers:
             if cfg.sdp_method == "admm":
-                solvers[L] = make_admm_solver(
+                solvers[L] = _finalize(make_admm_solver(
                     n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype,
                     rho=cfg.sdp_rho, alpha=cfg.sdp_alpha, sX=sX, sT=sT,
-                )
+                    jit=False,
+                ))
             else:
                 solvers[L] = make_solver(
                     n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype,
@@ -521,8 +559,8 @@ def matrix_completion_branchandbound(
 
         t0 = time.time()
         if use_mccormick:
-            mc_batch = MCBatch(U_lo=batch.U_lo, U_hi=batch.U_hi)
-            state0 = warm_state(work, L)
+            mc_batch = _put(MCBatch(U_lo=batch.U_lo, U_hi=batch.U_hi))
+            state0 = _put(warm_state(work, L))
             fin_state, out = get_mc_solver()(
                 A_dev, mask_dev, mc_batch, ub_bar, state0
             )
@@ -551,8 +589,10 @@ def matrix_completion_branchandbound(
             out = {key: np.asarray(val) for key, val in out.items()}
             lbs = host_certified_bound_shor(A, mask, batch, sbh, out, gamma, ub_bar)
         else:
-            state0 = warm_state(work, L)
-            fin_state, out = get_solver(L)(A_dev, mask_dev, batch, ub_bar, state0)
+            state0 = _put(warm_state(work, L))
+            fin_state, out = get_solver(L)(
+                A_dev, mask_dev, _put(batch), ub_bar, state0
+            )
             out = {key: np.asarray(val) for key, val in out.items()}
             lbs = host_certified_bound(A, mask, batch, out, gamma, k, ub_bar)
         t_relax = time.time() - t0

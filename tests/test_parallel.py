@@ -58,3 +58,39 @@ def test_sharded_super_step_matches_single_device():
     lb_a = host_certified_bound(A, mask, batch, outs, gamma, k, ub)
     lb_b = host_certified_bound(A, mask, batch, out1s, gamma, k, ub)
     np.testing.assert_allclose(lb_a, lb_b, rtol=1e-8, atol=1e-8)
+
+
+def test_driver_mesh_matches_single_device():
+    """The full B&B driver with mesh_shape=(8,) must certify the same
+    optimum as the single-device run (bit-for-bit tree decisions are not
+    required — the certified objective and gap are)."""
+    from omc.data import generate_matrix_completion_data
+    from omc.solve import matrix_completion_branchandbound
+
+    A, idx = generate_matrix_completion_data(1, 10, 10, 60, seed=2)
+    common = dict(
+        node_selection="bestfirst", disjunctive_cuts_type="linear",
+        disjunctive_cuts_breakpoints="smallest_1_eigvec", gap=1e-2,
+        batch_size=8, sdp_iters=600, dtype="float64", time_limit=120,
+        verbosity=0,
+    )
+    sol1, _, inst1 = matrix_completion_branchandbound(1, A, idx, 20.0, **common)
+    sol8, _, inst8 = matrix_completion_branchandbound(
+        1, A, idx, 20.0, mesh_shape=(8,), **common
+    )
+    assert inst8["run_log"][-1]["gap"] <= 1e-2
+    assert sol8["objective"] == pytest.approx(sol1["objective"], rel=1e-6)
+
+
+def test_driver_mesh_mccormick():
+    from omc.data import generate_matrix_completion_data
+    from omc.solve import matrix_completion_branchandbound
+
+    A, idx = generate_matrix_completion_data(1, 8, 8, 44, seed=4)
+    sol, _, inst = matrix_completion_branchandbound(
+        1, A, idx, 20.0, use_disjunctive_cuts=False, mesh_shape=(8,),
+        node_selection="bestfirst", gap=5e-2, batch_size=8, sdp_iters=800,
+        dtype="float64", time_limit=120, verbosity=0,
+    )
+    assert np.isfinite(sol["objective"])
+    assert inst["run_log"][-1]["gap"] <= 5e-2
