@@ -63,11 +63,16 @@ class SolverConfig:
     sdp_rho_mccormick: float = 10.0
     sdp_alpha: float = 1.6  # ADMM over-relaxation
     # bound refinement: requeue a node (continuing from its own solver
-    # state) instead of splitting while one more solve could close more
-    # than refine_frac of the remaining local gap, up to max_refines visits
+    # state) instead of splitting while its bound is still behind the
+    # inherited LB or still moving by more than refine_frac of the
+    # remaining local gap, up to max_refines visits
     refine_frac: float = 0.25
-    max_refines: int = 4
+    max_refines: int = 12
     sdp_warm_start: bool = True  # warm-start children from parent duals
+    # when the frontier underfills the batch, raise the per-visit iteration
+    # budget by up to this factor (padded slots cost the same device time
+    # whether or not they carry live nodes, so concentrate it)
+    sdp_iter_boost_max: int = 8
     altmin_max_iters: int = 100  # matches reference altmin max_iters (line 2000)
     altmin_tol: float = 1e-5  # matches reference eps (line 1998)
     dtype: str = "float32"  # device compute dtype ("float32" | "float64")

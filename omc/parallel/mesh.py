@@ -106,7 +106,7 @@ def shard_solver(mesh: Mesh, solve):
     rep = P()
     sh = P("nodes")
     step = _shard_map()(
-        solve, mesh=mesh, in_specs=(rep, rep, sh, rep, sh),
+        solve, mesh=mesh, in_specs=(rep, rep, sh, rep, sh, rep),
         out_specs=(sh, sh),
     )
     return jax.jit(step)

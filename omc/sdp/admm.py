@@ -239,7 +239,13 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
         psd_method = "eigh" if dtype == jnp.float64 else "ns"
     proj = project_psd_ns if psd_method == "ns" else project_psd
 
-    def solve(A, mask, batch: NodeBatch, ub_bar, state: ADMMState):
+    def solve(A, mask, batch: NodeBatch, ub_bar, state: ADMMState,
+              n_iters=None):
+        """``n_iters`` (optional, traced): runtime iteration budget — the
+        fori_loop bound is dynamic, so one compiled program serves any
+        budget (the driver raises it when the frontier underfills the
+        batch, concentrating device time on the live nodes)."""
+        ni = jnp.asarray(iters if n_iters is None else n_iters, jnp.int32)
         A = A.astype(dtype)
         mask = mask.astype(dtype)
         B = batch.cut_mask.shape[0]
@@ -371,12 +377,12 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
         # quarter of the run yields a markedly steadier certified bound
         # (the average of dual iterates is itself a perfectly valid input
         # to the safe bound).
-        navg = max(1, iters // 4)
+        navg = jnp.maximum(1, ni // 4)
 
         def body_acc(it, carry):
             st, acc = carry
             st = body(it, st)
-            take = (it >= iters - navg)
+            take = (it >= ni - navg)
             w = jnp.where(take, 1.0, 0.0).astype(st.u1.dtype)
             rb3 = st.rho[:, None, None]
             acc = (
@@ -393,12 +399,12 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
             jnp.zeros_like(state.ua), jnp.zeros_like(state.ub),
             jnp.zeros_like(state.uc),
         )
-        state, acc = jax.lax.fori_loop(0, iters, body_acc, (state, acc0))
+        state, acc = jax.lax.fori_loop(0, ni, body_acc, (state, acc0))
 
         Msep = jnp.einsum("bik,bjk->bij", state.U, state.U) - state.Y
         Msep = 0.5 * (Msep + jnp.swapaxes(Msep, -1, -2))
         sep_w, sep_V = jnp.linalg.eigh(Msep)
-        inv = 1.0 / navg
+        inv = (1.0 / navg).astype(state.u1.dtype)
         out = {
             "X": sX * state.X, "Y": state.Y, "Th": sT * state.Th, "U": state.U,
             "y1": inv * acc[0], "y2": inv * acc[1],

@@ -279,7 +279,10 @@ def make_mccormick_solver(n: int, m: int, k: int, gamma: float, *,
     seg_j1 = jnp.asarray(np.eye(k)[J1np], dtype=dtype)
     seg_j2 = jnp.asarray(np.eye(k)[J2np], dtype=dtype)
 
-    def solve(A, mask, batch: MCBatch, ub_bar, state: MCState):
+    def solve(A, mask, batch: MCBatch, ub_bar, state: MCState, n_iters=None):
+        """``n_iters`` (optional, traced): runtime iteration budget (see
+        ``omc.sdp.admm.make_admm_solver``)."""
+        ni = jnp.asarray(iters if n_iters is None else n_iters, jnp.int32)
         A = A.astype(dtype)
         mask = mask.astype(dtype)
         B = batch.U_lo.shape[0]
@@ -414,12 +417,12 @@ def make_mccormick_solver(n: int, m: int, k: int, gamma: float, *,
                 X=Xs, Y=Y, Th=Ths, U=U, t=t, rho=rho_b,
             )
 
-        navg = max(1, iters // 4)
+        navg = jnp.maximum(1, ni // 4)
 
         def body_acc(it, carry):
             st, acc = carry
             st = body(it, st)
-            take = (it >= iters - navg)
+            take = (it >= ni - navg)
             w = jnp.where(take, 1.0, 0.0).astype(st.u1.dtype)
             rb3 = st.rho[:, None, None]
             acc = (
@@ -433,12 +436,12 @@ def make_mccormick_solver(n: int, m: int, k: int, gamma: float, *,
             jnp.zeros_like(state.u1), jnp.zeros_like(state.u2),
             jnp.zeros_like(state.umc), jnp.zeros_like(state.uorth),
         )
-        state, acc = jax.lax.fori_loop(0, iters, body_acc, (state, acc0))
+        state, acc = jax.lax.fori_loop(0, ni, body_acc, (state, acc0))
 
         Msep = jnp.einsum("bik,bjk->bij", state.U, state.U) - state.Y
         Msep = 0.5 * (Msep + jnp.swapaxes(Msep, -1, -2))
         sep_w, sep_V = jnp.linalg.eigh(Msep)
-        inv = 1.0 / navg
+        inv = (1.0 / navg).astype(state.u1.dtype)
         out = {
             "X": sX * state.X, "Y": state.Y, "Th": sT * state.Th, "U": state.U,
             "t": state.t,

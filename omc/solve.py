@@ -107,6 +107,34 @@ def _pack_batch(nodes: List[BBNode], B: int, L: int, n: int, k: int,
     )
 
 
+def _polish_incumbent(X0, A, mask, gamma, k, iters=25):
+    """Host float64 polish of an incumbent candidate: exact closed-form
+    alternating ridge steps from X0, then SVD re-orthonormalisation and
+    exact objective.  Device altmin runs in the compute dtype (float32 on
+    TPU); at a 1e-4 certification target the incumbent's last ~1e-5
+    relative slack decides whether the root bound can close the gap, so
+    the final refinement runs in float64 — it is O(iters * (n m k + n k^2))
+    on a single candidate, negligible next to a device super-step."""
+    X = np.asarray(X0, dtype=np.float64)
+    U = np.linalg.svd(X, full_matrices=False)[0][:, :k]
+    eye_k = 1e-12 * np.eye(k)
+    best_obj, best_X, best_U = np.inf, X, U
+    for _ in range(iters):
+        G = np.einsum("nk,nm,nl->mkl", U, mask, U) + (1.0 / gamma) * (U.T @ U)[None]
+        rhs = (U.T @ (mask * A)).T
+        V = np.linalg.solve(G + eye_k, rhs[..., None])[..., 0].T  # (k, m)
+        H = np.einsum("km,nm,lm->nkl", V, mask, V) + (1.0 / gamma) * (V @ V.T)[None]
+        rhs_u = (mask * A) @ V.T
+        U_new = np.linalg.solve(H + eye_k, rhs_u[..., None])[..., 0]  # (n, k)
+        X = U_new @ V
+        U_orth = np.linalg.svd(X, full_matrices=False)[0][:, :k]
+        obj = float(evaluate_objective(X, A, mask, U_orth, gamma))
+        if obj < best_obj - 1e-14:
+            best_obj, best_X, best_U = obj, X, U_orth
+        U = U_new
+    return best_obj, best_X, best_U
+
+
 def _round_to_incumbent(Y, A, mask, gamma, k):
     """Orthonormal U from top-k eigenvectors of Y + exact closed-form V-step
     -> (objective, X, U) with objective a *valid* rank-k upper bound."""
@@ -251,24 +279,21 @@ def matrix_completion_branchandbound(
     solve_time_altmin += t_root_altmin
     dict_solve_times_altmin.append({"node_id": 0, "depth": 0, "solve_time": t_root_altmin})
 
-    best_obj, best_ind = np.inf, 0
-    X_candidates = []
+    best_obj = np.inf
+    X_initial = U_initial = None
     for i in range(n_runs):
-        X_i = res_U[i] @ res_V[i]
-        X_candidates.append(X_i)
-        U_i = np.linalg.svd(X_i, full_matrices=False)[0][:, :k]
-        obj_i = float(evaluate_objective(X_i, A, mask, U_i, gamma))
+        # float64 host polish (see _polish_incumbent): the device altmin
+        # runs in the compute dtype; the incumbent's final 1e-5 matters
+        obj_i, X_i, U_i = _polish_incumbent(res_U[i] @ res_V[i], A, mask, gamma, k)
         if obj_i < best_obj:
-            best_obj, best_ind = obj_i, i
+            best_obj, X_initial, U_initial = obj_i, X_i, U_i
         add_message(printlist, [
             "Altmin run %02d: \t Objective %e in %3.3f s.\n"
             % (i + 1, obj_i, time.time() - altmin_start)
         ], echo=echo)
 
-    X_initial = X_candidates[best_ind]
-    U_initial = np.linalg.svd(X_initial, full_matrices=False)[0][:, :k]
     Y_initial = U_initial @ U_initial.T
-    objective_initial = float(evaluate_objective(X_initial, A, mask, U_initial, gamma))
+    objective_initial = best_obj
     MSE_in_initial = float(compute_MSE(X_initial, A, mask, kind="in"))
     MSE_out_initial = float(compute_MSE(X_initial, A, mask, kind="out"))
     MSE_all_initial = float(compute_MSE(X_initial, A, mask, kind="all"))
@@ -382,6 +407,8 @@ def matrix_completion_branchandbound(
 
     # jitted program caches, keyed by the cut-capacity bucket
     solvers: Dict[int, object] = {}
+    iter_rate: Dict[str, float] = {}  # measured seconds per solver iteration
+    iter_rate_samples: Dict[str, int] = {}
     root_node_timeout = False
 
     # ------------------------------------------------------------------
@@ -557,12 +584,30 @@ def matrix_completion_branchandbound(
         batch = _pack_batch(work, B, L, n, k, cfg.disjunctive_cuts_type, np_dtype)
         ub_bar = tree.best_upper_bound * (1.0 + 1e-9) + 1e-9
 
+        # padded slots cost the same device time as live ones — when the
+        # frontier underfills the batch, spend the freed budget on more
+        # iterations for the nodes that are there (root refinement, tails).
+        # Cap by the measured iteration rate so one visit never eats more
+        # than a quarter of the remaining wall-clock budget.
+        boost = min(cfg.sdp_iter_boost_max, max(1, B // len(work)))
+        if use_shor or (not use_mccormick and cfg.sdp_method != "admm"):
+            boost = 1  # fixed-iteration solvers (no runtime budget arg)
+        visit_iters = cfg.sdp_iters * boost
+        skey = "mc" if use_mccormick else ("shor" if use_shor else "dc")
+        rate = iter_rate.get(skey)
+        if rate is not None and rate > 0:
+            remaining = max(cfg.time_limit - (time.time() - start_time), 0.0)
+            affordable = int(max(5.0, 0.25 * remaining) / rate)
+            visit_iters = max(
+                min(visit_iters, affordable), max(cfg.sdp_iters // 4, 1)
+            )
+
         t0 = time.time()
         if use_mccormick:
             mc_batch = _put(MCBatch(U_lo=batch.U_lo, U_hi=batch.U_hi))
             state0 = _put(warm_state(work, L))
             fin_state, out = get_mc_solver()(
-                A_dev, mask_dev, mc_batch, ub_bar, state0
+                A_dev, mask_dev, mc_batch, ub_bar, state0, visit_iters
             )
             out = {key: np.asarray(val) for key, val in out.items()}
             lbs = host_certified_bound_mc(
@@ -590,13 +635,23 @@ def matrix_completion_branchandbound(
             lbs = host_certified_bound_shor(A, mask, batch, sbh, out, gamma, ub_bar)
         else:
             state0 = _put(warm_state(work, L))
-            fin_state, out = get_solver(L)(
-                A_dev, mask_dev, _put(batch), ub_bar, state0
-            )
+            args = (A_dev, mask_dev, _put(batch), ub_bar, state0)
+            if cfg.sdp_method == "admm":
+                args = args + (visit_iters,)
+            fin_state, out = get_solver(L)(*args)
             out = {key: np.asarray(val) for key, val in out.items()}
             lbs = host_certified_bound(A, mask, batch, out, gamma, k, ub_bar)
         t_relax = time.time() - t0
         solve_time_relaxation += t_relax
+        new_rate = t_relax / max(visit_iters, 1)
+        old_rate = iter_rate.get(skey)
+        # first measurement includes compile time — overwrite it entirely
+        # on the second, then smooth
+        iter_rate[skey] = (
+            new_rate if old_rate is None or iter_rate_samples[skey] < 2
+            else 0.7 * old_rate + 0.3 * new_rate
+        )
+        iter_rate_samples[skey] = iter_rate_samples.get(skey, 0) + 1
 
         altmin_marked: List[int] = []  # indices into `work`
         split_nodes: List[int] = []
@@ -633,6 +688,9 @@ def matrix_completion_branchandbound(
                 node.master_feasible = True
                 census["nodes_master_feasible"] += 1
                 obj_r, X_r, U_r = _round_to_incumbent(out["Y"][i], A, mask, gamma, k)
+                obj_p, X_p, U_p = _polish_incumbent(X_r, A, mask, gamma, k, iters=8)
+                if obj_p < obj_r:
+                    obj_r, X_r, U_r = obj_p, X_p, U_p
                 if obj_r < tree.best_upper_bound:
                     census["nodes_master_feasible_improvement"] += 1
                     tree.best_upper_bound = obj_r
@@ -650,15 +708,20 @@ def matrix_completion_branchandbound(
             # solver state rather than splitting while (a) the solver is
             # still *behind* the inherited bound — its computed bound has
             # not yet reached the parent's level, so the extra cut's
-            # strength is not measurable yet — or (b) one more solve could
-            # close more than refine_frac of the remaining local gap
+            # strength is not measurable yet — or (b) the bound is still
+            # *moving* by more than refine_frac of the remaining local gap
+            # between visits (ADMM duals oscillate on their way in; a
+            # one-sided improvement test would split at an oscillation
+            # trough — measured on the 50x50 root, whose bound swings by
+            # ~10% of its value with a multi-thousand-iteration period
+            # before certifying)
             behind = computed < lb_prev - 1e-9 * max(1.0, abs(lb_prev))
             baseline = prev_solver if np.isfinite(prev_solver) else lb_prev
-            improvement = computed - baseline if np.isfinite(baseline) else np.inf
+            movement = abs(computed - baseline) if np.isfinite(baseline) else np.inf
             local_gap = max(tree.best_upper_bound - lb_i, 0.0)
             if (
                 node.refines < cfg.max_refines
-                and (behind or improvement > cfg.refine_frac * local_gap)
+                and (behind or movement > cfg.refine_frac * local_gap)
             ):
                 node.refines += 1
                 _cache_put(node.node_id, host_state_slice(fin_host, i))
@@ -698,9 +761,9 @@ def matrix_completion_branchandbound(
                     "n_iters": int(am_iters[j]),
                 })
                 if am_conv[j]:
-                    X_local = am_U[j] @ am_V[j]
-                    U_local = np.linalg.svd(X_local, full_matrices=False)[0][:, :k]
-                    obj_local = float(evaluate_objective(X_local, A, mask, U_local, gamma))
+                    obj_local, X_local, U_local = _polish_incumbent(
+                        am_U[j] @ am_V[j], A, mask, gamma, k, iters=8
+                    )
                     if obj_local < tree.best_upper_bound:
                         census["nodes_relax_feasible_split_altmin_improvement"] += 1
                         tree.best_upper_bound = obj_local
