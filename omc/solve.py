@@ -82,6 +82,20 @@ def _l_bucket(need: int) -> int:
     raise ValueError(f"cut count {need} exceeds the largest supported bucket")
 
 
+def _b_bucket(need: int, B: int) -> int:
+    """Smallest batch bucket >= need (powers of 4 up to the configured
+    batch size).  Padded slots cost the same device time and the same
+    host<->device transfer as live ones — when the frontier underfills the
+    batch (above all during root bound refinement, where ONE node is live),
+    running at the tight bucket is a ~B/need speedup per visit."""
+    for b in (1, 4, 16, 64, 256, 1024):
+        if b >= B:
+            break
+        if need <= b:
+            return b
+    return B
+
+
 def _pack_batch(nodes: List[BBNode], B: int, L: int, n: int, k: int,
                 cuts_type: Optional[str], dtype) -> NodeBatch:
     cut_x = np.zeros((B, L, n), dtype=dtype)
@@ -489,7 +503,7 @@ def matrix_completion_branchandbound(
         while len(state_cache) > state_cache_max:
             state_cache.popitem(last=False)
 
-    def _template(L, M5=None):
+    def _template(Bb, L, M5=None):
         """Fallback state: the incumbent primal (feasible for every node's
         core cones), zero duals."""
         U0 = solution["U"]
@@ -499,28 +513,66 @@ def matrix_completion_branchandbound(
                   Th0=(V0.T @ V0)[None], U0=U0[None])
         if use_mccormick:
             return init_mc_state(
-                B, n, m, k, dtype=dtype, sX=sX, sT=sT,
+                Bb, n, m, k, dtype=dtype, sX=sX, sT=sT,
                 rho=cfg.sdp_rho_mccormick, **kw
             )
         if use_shor:
             return init_shor_state(
-                B, n, m, k, L, M5, n * m, dtype=dtype, sX=sX, sT=sT,
+                Bb, n, m, k, L, M5, n * m, dtype=dtype, sX=sX, sT=sT,
                 rho=cfg.sdp_rho, **kw
             )
         if cfg.sdp_method == "admm":
             return init_admm_state(
-                B, n, m, k, L, dtype=dtype, sX=sX, sT=sT, rho=cfg.sdp_rho, **kw
+                Bb, n, m, k, L, dtype=dtype, sX=sX, sT=sT, rho=cfg.sdp_rho, **kw
             )
-        return init_state(B, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
+        return init_state(Bb, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
 
-    def warm_state(nodes: List[BBNode], L, M5=None):
+    # Device-resident warm state: the previous super-step's final solver
+    # state stays on device; when a step re-visits exactly the node set of
+    # the previous step at the same shapes (the bound-refinement loop —
+    # above all root refinement), it is fed straight back with NO host
+    # round trip (the TPU can sit behind a network tunnel; a full 64-slot
+    # state is ~25 MB each way).  Otherwise the state is flushed to the
+    # host slice cache lazily, only when some popped node (or its parent)
+    # actually warm-starts from it.
+    last_solve = {"key": None, "state": None, "slots": {}, "host": None}
+
+    def _flush_last_solve(skip_ids=()):
+        """Move the previous solve's per-node states into the host slice
+        cache (one device->host transfer per state leaf, not per node)."""
+        if last_solve["state"] is None:
+            return
+        if last_solve["host"] is None:
+            last_solve["host"] = state_to_host(last_solve["state"])
+        for nid, i in last_solve["slots"].items():
+            if nid not in skip_ids:
+                _cache_put(nid, host_state_slice(last_solve["host"], i))
+        last_solve["slots"] = {}
+
+    def warm_state(nodes: List[BBNode], Bb, L, M5=None):
+        key = (tuple(nd.node_id for nd in nodes), Bb, L, M5)
+        if last_solve["key"] == key and last_solve["state"] is not None:
+            return last_solve["state"]
+        slots = last_solve["slots"]
+        if slots and any(
+            nd.node_id in slots or nd.parent_id in slots for nd in nodes
+        ):
+            _flush_last_solve()
         # own state (refinement visits) takes precedence over the parent's
         slices = [
             state_cache.get(nd.node_id) or state_cache.get(nd.parent_id)
             for nd in nodes
         ]
-        slices += [None] * (B - len(nodes))
-        return assemble_warm_state(_template(L, M5), slices)
+        slices += [None] * (Bb - len(nodes))
+        return assemble_warm_state(_template(Bb, L, M5), slices)
+
+    def record_solve(work: List[BBNode], fin_state, Bb, L, M5=None):
+        """Supersede the previous device state with this step's result."""
+        _flush_last_solve(skip_ids={nd.node_id for nd in work})
+        last_solve["key"] = (tuple(nd.node_id for nd in work), Bb, L, M5)
+        last_solve["state"] = fin_state
+        last_solve["slots"] = {nd.node_id: i for i, nd in enumerate(work)}
+        last_solve["host"] = None
 
     _M5_BUCKETS = (64, 256, 1024, 4096)
 
@@ -581,7 +633,8 @@ def matrix_completion_branchandbound(
 
         L_need = max(1, max(len(nd.cuts) for nd in work)) if not use_mccormick else 1
         L = _l_bucket(L_need)
-        batch = _pack_batch(work, B, L, n, k, cfg.disjunctive_cuts_type, np_dtype)
+        Bb = B if mesh is not None else _b_bucket(len(work), B)
+        batch = _pack_batch(work, Bb, L, n, k, cfg.disjunctive_cuts_type, np_dtype)
         ub_bar = tree.best_upper_bound * (1.0 + 1e-9) + 1e-9
 
         # padded slots cost the same device time as live ones — when the
@@ -593,7 +646,7 @@ def matrix_completion_branchandbound(
         if use_shor or (not use_mccormick and cfg.sdp_method != "admm"):
             boost = 1  # fixed-iteration solvers (no runtime budget arg)
         visit_iters = cfg.sdp_iters * boost
-        skey = "mc" if use_mccormick else ("shor" if use_shor else "dc")
+        skey = ("mc" if use_mccormick else ("shor" if use_shor else "dc"), Bb)
         rate = iter_rate.get(skey)
         if rate is not None and rate > 0:
             remaining = max(cfg.time_limit - (time.time() - start_time), 0.0)
@@ -603,9 +656,10 @@ def matrix_completion_branchandbound(
             )
 
         t0 = time.time()
+        M5 = None
         if use_mccormick:
             mc_batch = _put(MCBatch(U_lo=batch.U_lo, U_hi=batch.U_hi))
-            state0 = _put(warm_state(work, L))
+            state0 = _put(warm_state(work, Bb, L))
             fin_state, out = get_mc_solver()(
                 A_dev, mask_dev, mc_batch, ub_bar, state0, visit_iters
             )
@@ -621,26 +675,27 @@ def matrix_completion_branchandbound(
             sbh = pack_shor_batch(
                 n, m,
                 [nd.Shor_info.constraints_indexes for nd in work]
-                + [[]] * (B - len(work)),
+                + [[]] * (Bb - len(work)),
                 [nd.Shor_info.SOC_constraints_indexes for nd in work]
-                + [[]] * (B - len(work)),
+                + [[]] * (Bb - len(work)),
                 M5, n * m,
             )
             sb_dev = shor_batch_to_device(sbh, dtype)
-            state0 = warm_state(work, L, M5)
+            state0 = warm_state(work, Bb, L, M5)
             fin_state, out = get_shor_solver(L, M5)(
                 A_dev, mask_dev, batch, sb_dev, ub_bar, state0
             )
             out = {key: np.asarray(val) for key, val in out.items()}
             lbs = host_certified_bound_shor(A, mask, batch, sbh, out, gamma, ub_bar)
         else:
-            state0 = _put(warm_state(work, L))
+            state0 = _put(warm_state(work, Bb, L))
             args = (A_dev, mask_dev, _put(batch), ub_bar, state0)
             if cfg.sdp_method == "admm":
                 args = args + (visit_iters,)
             fin_state, out = get_solver(L)(*args)
             out = {key: np.asarray(val) for key, val in out.items()}
             lbs = host_certified_bound(A, mask, batch, out, gamma, k, ub_bar)
+        record_solve(work, fin_state, Bb, L, M5)
         t_relax = time.time() - t0
         solve_time_relaxation += t_relax
         new_rate = t_relax / max(visit_iters, 1)
@@ -655,9 +710,6 @@ def matrix_completion_branchandbound(
 
         altmin_marked: List[int] = []  # indices into `work`
         split_nodes: List[int] = []
-        # one device->host transfer per state leaf (NOT per node) — per-node
-        # slicing over a remote-device tunnel costs a round trip per leaf
-        fin_host = state_to_host(fin_state)
 
         for i, node in enumerate(work):
             lb_prev = node.LB
@@ -724,7 +776,8 @@ def matrix_completion_branchandbound(
                 and (behind or movement > cfg.refine_frac * local_gap)
             ):
                 node.refines += 1
-                _cache_put(node.node_id, host_state_slice(fin_host, i))
+                # warm-start state stays in last_solve (on device); it is
+                # flushed to the host cache lazily only if needed later
                 tree.requeue(node, lb_i)
                 continue
 
@@ -779,7 +832,6 @@ def matrix_completion_branchandbound(
             for i in split_nodes:
                 node = work[i]
                 census["nodes_relax_feasible_split"] += 1
-                _cache_put(node.node_id, host_state_slice(fin_host, i))
                 if use_mccormick:
                     children = create_mccormick_child_nodes(
                         node, tree.counter, node.LB
