@@ -26,10 +26,13 @@ from omc.data import (
 from omc.config import SolverConfig
 from omc.tree import BBNode, BBTree, DisjunctiveCut, ShorInfo
 from omc.solve import matrix_completion_branchandbound
+from omc.api import alternating_minimization, matrix_completion_SDP_relaxation
 from omc.sdp.shor import generate_rank1_matrix_completion_Shor_constraints_indexes
 
 __all__ = [
     "matrix_completion_branchandbound",
+    "alternating_minimization",
+    "matrix_completion_SDP_relaxation",
     "evaluate_objective",
     "compute_SDP_relaxation_objective",
     "compute_MSE",

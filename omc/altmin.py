@@ -6,11 +6,14 @@ The reference's altmin (`/root/reference/src/OptimalMatrixCompletion.jl:
 k x k solve (see ``omc.ops.linalg``), vmapped over many altmin runs
 (multi-restart at the root, probability-gated runs across B&B nodes).
 
-The U-step here is the unconstrained ridge solution projected onto the
-box (and column balls); the reference instead solves a cut-constrained
-SOCP.  Upper-bound *validity* is unaffected — any rank-<=k iterate gives a
-valid incumbent via the exact objective (reference evaluates objectives the
-same way at lines 920-927) — only the search trajectory differs.
+The U-step is the unconstrained ridge solution followed by a projection:
+column-norm cap only when no cuts are given, or cyclic projections onto
+box ∩ per-cut v-intervals ∩ column balls when the caller passes the
+node's cut tensors (the reference solves a cut-constrained SOCP instead,
+lines 2048-2092).  Upper-bound *validity* is unaffected either way — any
+rank-<=k iterate gives a valid incumbent via the exact objective
+(reference evaluates objectives the same way at lines 920-927) — the cut
+projection restores the reference's search *locality* at tree nodes.
 
 Convergence mirrors the reference (lines 2231-2245): relative objective
 change < eps (1e-5), or the last 5 objectives all exceeding the value 5
@@ -60,6 +63,43 @@ def _project_U(U, U_lo, U_hi):
     return U * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-30))
 
 
+def _project_cuts(U, U_lo, U_hi, cut_x, cut_lo, cut_hi, cut_mask, sweeps=8):
+    """Cyclic projections onto box ∩ per-cut v-intervals ∩ column balls.
+
+    The reference's cut-constrained altmin U-model imposes, per cut with
+    breakpoint vector x, interval bounds on v = U^T x determined by the
+    node's direction labels (`/root/reference/src/OptimalMatrixCompletion.jl:
+    2048-2092`) plus the U box and column-norm SOCs.  Here the unconstrained
+    ridge U-step is followed by a POCS sweep over the same sets — every set
+    projection is a clip / rank-1 update / column rescale, so the whole
+    thing is batched elementwise work.  Unlike the cut-free path, the cut
+    region pins the sign orientation, so the box IS enforced here.
+
+    U (B, n, k); cut_x (B, L, n); cut_lo/cut_hi (B, L, k); cut_mask (B, L).
+    """
+    L = cut_x.shape[1]
+    xx = jnp.sum(cut_x * cut_x, axis=-1)  # (B, L); breakpoint vecs are ~unit
+
+    def sweep(U, _):
+        U = jnp.clip(U, U_lo, U_hi)
+
+        def slab(Uc, l):
+            x = cut_x[:, l]  # (B, n)
+            v = jnp.einsum("bn,bnk->bk", x, Uc)  # (B, k)
+            v_c = jnp.clip(v, cut_lo[:, l], cut_hi[:, l])
+            dv = (v_c - v) * cut_mask[:, l][:, None]
+            step = dv / jnp.maximum(xx[:, l], 1e-30)[:, None]  # (B, k)
+            return Uc + x[:, :, None] * step[:, None, :], None
+
+        U, _ = jax.lax.scan(slab, U, jnp.arange(L))
+        nrm = jnp.linalg.norm(U, axis=-2, keepdims=True)
+        U = U * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-30))
+        return U, None
+
+    U, _ = jax.lax.scan(sweep, U, None, length=sweeps)
+    return U
+
+
 def make_altmin(n: int, m: int, k: int, gamma: float, *, max_iters: int = 100,
                 tol: float = 1e-5, dtype=jnp.float32):
     """Build a jitted batched altmin: (A, mask, U_init, U_lo, U_hi) -> AltminResult."""
@@ -67,7 +107,9 @@ def make_altmin(n: int, m: int, k: int, gamma: float, *, max_iters: int = 100,
     vstep_b = jax.vmap(v_step, in_axes=(0, None, None, None))
     ustep_b = jax.vmap(u_step_unconstrained, in_axes=(0, None, None, None))
 
-    def run(A, mask, U_init, U_lo, U_hi):
+    def run(A, mask, U_init, U_lo, U_hi, cut_x=None, cut_lo=None,
+            cut_hi=None, cut_mask=None):
+        with_cuts = cut_x is not None
         A = A.astype(dtype)
         mask = mask.astype(dtype)
         U0 = U_init.astype(dtype)
@@ -89,7 +131,12 @@ def make_altmin(n: int, m: int, k: int, gamma: float, *, max_iters: int = 100,
         def step(c: Carry):
             V_new = vstep_b(c.U, A, mask, gamma)
             U_new = ustep_b(V_new, A, mask, gamma)
-            U_new = _project_U(U_new, U_lo, U_hi)
+            if with_cuts:
+                U_new = _project_cuts(
+                    U_new, U_lo, U_hi, cut_x, cut_lo, cut_hi, cut_mask
+                )
+            else:
+                U_new = _project_U(U_new, U_lo, U_hi)
             obj_new = _objective(U_new, V_new, A, mask, gamma)
             rel = jnp.abs((obj_new - c.obj_cur) / jnp.where(c.obj_cur == 0, 1.0, c.obj_cur))
             hist = jnp.concatenate([c.obj_hist[:, 1:], obj_new[:, None]], axis=1)

@@ -1,1 +1,1 @@
-from omc.ops import cones, eigh, linalg  # noqa: F401
+from omc.ops import cones, linalg  # noqa: F401

@@ -27,19 +27,6 @@ def project_psd(M):
     return jnp.einsum("...ik,...k,...jk->...ij", V, w, V)
 
 
-def project_nsd(M):
-    """Project onto the negative semidefinite cone."""
-    return -project_psd(-M)
-
-
-def project_box(x, lo, hi):
-    return jnp.clip(x, lo, hi)
-
-
-def project_nonneg(x):
-    return jnp.maximum(x, 0.0)
-
-
 def project_soc(t, x):
     """Project (t, x) onto the second-order cone {(t, x): ||x|| <= t}.
 
@@ -77,10 +64,3 @@ def project_rsoc(u, v, x):
     u_p = (t_p + s_p) / s2
     v_p = (t_p - s_p) / s2
     return u_p, v_p, x_p
-
-
-def project_ball(x, radius=1.0, axis=-2):
-    """Scale columns (along ``axis``) of x into the Euclidean ball."""
-    nrm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    scale = jnp.minimum(1.0, radius / jnp.maximum(nrm, 1e-30))
-    return x * scale

@@ -48,17 +48,3 @@ def u_step_unconstrained(V, A, mask, gamma, ridge_eps=1e-10):
     else:
         U = jnp.linalg.solve(H, rhs[..., None])[..., 0]  # (n, k)
     return U
-
-
-def top_k_left_singvecs(X, k: int):
-    """Left singular vectors U[:, :k] of X via eigh of the Gram matrix.
-
-    Replaces the reference's LAPACK ``svd(X).U[:, 1:k]`` warm-start/rounding
-    calls (reference lines 524/564/585/873/921).  Using X X^T (n x n, n <= m)
-    keeps the factorisation small and batched-eigh-friendly.
-    """
-    n = X.shape[-2]
-    G = X @ jnp.swapaxes(X, -1, -2)  # (..., n, n)
-    w, V = jnp.linalg.eigh(G)  # ascending
-    # take eigenvectors of the k largest eigenvalues, descending order
-    return V[..., :, ::-1][..., :, :k], jnp.sqrt(jnp.maximum(w[..., ::-1][..., :k], 0.0))

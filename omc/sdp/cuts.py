@@ -85,21 +85,3 @@ def chord_coefficients(lo, hi):
     """Secant overestimator of v^2 on [lo, hi]: returns (c, b) with
     chord(v) = c*v + b, c = lo+hi, b = -lo*hi."""
     return lo + hi, -lo * hi
-
-
-def pack_cuts(cut_list, Lmax: int, n: int, k: int, dtype=np.float64):
-    """Pack a python list of cuts [(x (n,), vhat (k,), code (k,) int)] into
-    padded arrays (x, vhat, code, mask) with leading dim ``Lmax``."""
-    L = len(cut_list)
-    if L > Lmax:
-        raise ValueError(f"node has {L} cuts > Lmax={Lmax}")
-    x = np.zeros((Lmax, n), dtype=dtype)
-    vhat = np.zeros((Lmax, k), dtype=dtype)
-    code = np.zeros((Lmax, k), dtype=np.int32)
-    mask = np.zeros((Lmax,), dtype=dtype)
-    for i, (xi, vi, ci) in enumerate(cut_list):
-        x[i] = xi
-        vhat[i] = vi
-        code[i] = ci
-        mask[i] = 1.0
-    return x, vhat, code, mask

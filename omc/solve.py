@@ -96,6 +96,24 @@ def _b_bucket(need: int, B: int) -> int:
     return B
 
 
+def _cut_interval_arrays(cuts, cuts_type: Optional[str], n: int, k: int,
+                         dtype=np.float64):
+    """Pack one node's cut list into (x, lo, hi, mask) interval arrays with
+    leading dim max(1, len(cuts)) — the altmin U-step projection's input
+    (reference's per-cut v-interval constraints, lines 2048-2092)."""
+    L = max(1, len(cuts))
+    cx = np.zeros((L, n), dtype=dtype)
+    clo = -np.ones((L, k), dtype=dtype)
+    chi = np.ones((L, k), dtype=dtype)
+    cm = np.zeros((L,), dtype=dtype)
+    for l, cut in enumerate(cuts):
+        cx[l] = cut.x
+        lo, hi = region_bounds(cuts_type, cut.code, cut.vhat)
+        clo[l], chi[l] = lo, hi
+        cm[l] = 1.0
+    return cx, clo, chi, cm
+
+
 def _pack_batch(nodes: List[BBNode], B: int, L: int, n: int, k: int,
                 cuts_type: Optional[str], dtype) -> NodeBatch:
     cut_x = np.zeros((B, L, n), dtype=dtype)
@@ -234,6 +252,14 @@ def matrix_completion_branchandbound(
     solve_time_altmin = 0.0
     solve_time_relaxation = 0.0
     solve_time_relaxation_feasibility = 0.0
+    # TPU-native phase split (SURVEY.md section 5 "Tracing / profiling"):
+    # device solver wall (incl. host<->device transfer), host float64
+    # certification, host incumbent polish, total solver iterations issued
+    solve_time_device = 0.0
+    solve_time_certify = 0.0
+    solve_time_polish = 0.0
+    sdp_iters_total = 0
+    device_steps = 0
     dict_solve_times_altmin: List[dict] = []
     dict_num_iterations_altmin: List[dict] = []
     dict_solve_times_relaxation: List[dict] = []
@@ -376,6 +402,8 @@ def matrix_completion_branchandbound(
 
     if resume_payload is not None:
         tree = resume_payload["tree"]
+        if not hasattr(tree, "refinement_visits"):  # pre-r3 checkpoints
+            tree.refinement_visits = 0
         # warm-start states are not checkpointed (pure optimisation); give
         # resumed nodes a fresh refinement budget so bounds can rebuild
         for nd in tree.nodes.values():
@@ -423,7 +451,6 @@ def matrix_completion_branchandbound(
     solvers: Dict[int, object] = {}
     iter_rate: Dict[str, float] = {}  # measured seconds per solver iteration
     iter_rate_samples: Dict[str, int] = {}
-    root_node_timeout = False
 
     # ------------------------------------------------------------------
     # Device mesh (BASELINE configs 4-5): shard the node-batch axis over
@@ -664,6 +691,7 @@ def matrix_completion_branchandbound(
                 A_dev, mask_dev, mc_batch, ub_bar, state0, visit_iters
             )
             out = {key: np.asarray(val) for key, val in out.items()}
+            t_dev_end = time.time()
             lbs = host_certified_bound_mc(
                 A, mask, np.asarray(batch.U_lo, np.float64),
                 np.asarray(batch.U_hi, np.float64), out, gamma, k, ub_bar,
@@ -686,6 +714,7 @@ def matrix_completion_branchandbound(
                 A_dev, mask_dev, batch, sb_dev, ub_bar, state0
             )
             out = {key: np.asarray(val) for key, val in out.items()}
+            t_dev_end = time.time()
             lbs = host_certified_bound_shor(A, mask, batch, sbh, out, gamma, ub_bar)
         else:
             state0 = _put(warm_state(work, Bb, L))
@@ -694,10 +723,15 @@ def matrix_completion_branchandbound(
                 args = args + (visit_iters,)
             fin_state, out = get_solver(L)(*args)
             out = {key: np.asarray(val) for key, val in out.items()}
+            t_dev_end = time.time()
             lbs = host_certified_bound(A, mask, batch, out, gamma, k, ub_bar)
         record_solve(work, fin_state, Bb, L, M5)
         t_relax = time.time() - t0
         solve_time_relaxation += t_relax
+        solve_time_device += t_dev_end - t0
+        solve_time_certify += t_relax - (t_dev_end - t0)
+        sdp_iters_total += visit_iters
+        device_steps += 1
         new_rate = t_relax / max(visit_iters, 1)
         old_rate = iter_rate.get(skey)
         # first measurement includes compile time — overwrite it entirely
@@ -718,7 +752,11 @@ def matrix_completion_branchandbound(
             node.lb_solver = computed
             lb_i = max(node.LB, computed)
             node.LB = lb_i
-            census["nodes_relax_feasible"] += 1
+            # refinement re-visits (node.refines > 0) are counted in
+            # tree.refinement_visits, not the per-node census — the census
+            # stays 1:1 with the reference's one-solve-per-node counts
+            if node.refines == 0:
+                census["nodes_relax_feasible"] += 1
             dict_solve_times_relaxation.append({
                 "node_id": node.node_id, "depth": node.depth,
                 "solve_time": t_relax / max(len(work), 1),
@@ -737,10 +775,13 @@ def matrix_completion_branchandbound(
             else:
                 master_feasible = bool(out["sep_w"][i, 0] >= -1e-6)
             if master_feasible:
+                if not node.master_feasible:  # once per node across visits
+                    census["nodes_master_feasible"] += 1
                 node.master_feasible = True
-                census["nodes_master_feasible"] += 1
+                t_pol = time.time()
                 obj_r, X_r, U_r = _round_to_incumbent(out["Y"][i], A, mask, gamma, k)
                 obj_p, X_p, U_p = _polish_incumbent(X_r, A, mask, gamma, k, iters=8)
+                solve_time_polish += time.time() - t_pol
                 if obj_p < obj_r:
                     obj_r, X_r, U_r = obj_p, X_p, U_p
                 if obj_r < tree.best_upper_bound:
@@ -799,7 +840,32 @@ def matrix_completion_branchandbound(
                 Yi = out["Y"][i].astype(np.float64)
                 w, V = np.linalg.eigh(0.5 * (Yi + Yi.T))
                 U_init_m[j] = V[:, ::-1][:, :k]
-            am_U, am_V, am_conv, am_iters = run_altmin(U_init_m)
+            if use_mccormick or all(not work[i].cuts for i in altmin_marked):
+                am_U, am_V, am_conv, am_iters = run_altmin(U_init_m)
+            else:
+                # cut-constrained U-step (reference lines 2048-2092): the
+                # marked nodes' cut tensors are rows of the already-packed
+                # relaxation batch, so the altmin runs inside each node's
+                # disjunctive region rather than re-finding the root basin
+                Ba = _b_bucket(len(altmin_marked), B)
+                idx = np.asarray(
+                    altmin_marked
+                    + [altmin_marked[-1]] * (Ba - len(altmin_marked))
+                )
+                r = altmin_fn(
+                    A_dev, mask_dev,
+                    jnp.asarray(U_init_m[
+                        np.minimum(np.arange(Ba), len(altmin_marked) - 1)
+                    ], dtype=dtype),
+                    batch.U_lo[idx], batch.U_hi[idx],
+                    cut_x=batch.cut_x[idx], cut_lo=batch.cut_lo[idx],
+                    cut_hi=batch.cut_hi[idx], cut_mask=batch.cut_mask[idx],
+                )
+                na = len(altmin_marked)
+                am_U = np.asarray(r.U, np.float64)[:na]
+                am_V = np.asarray(r.V, np.float64)[:na]
+                am_conv = np.asarray(r.converged)[:na]
+                am_iters = np.asarray(r.n_iters)[:na]
             t_alt = time.time() - t0
             solve_time_altmin += t_alt
             for j, i in enumerate(altmin_marked):
@@ -814,9 +880,11 @@ def matrix_completion_branchandbound(
                     "n_iters": int(am_iters[j]),
                 })
                 if am_conv[j]:
+                    t_pol = time.time()
                     obj_local, X_local, U_local = _polish_incumbent(
                         am_U[j] @ am_V[j], A, mask, gamma, k, iters=8
                     )
+                    solve_time_polish += time.time() - t_pol
                     if obj_local < tree.best_upper_bound:
                         census["nodes_relax_feasible_split_altmin_improvement"] += 1
                         tree.best_upper_bound = obj_local
@@ -915,6 +983,11 @@ def matrix_completion_branchandbound(
     time_taken = end_time - start_time
     maybe_checkpoint(force=True)
 
+    # the reference flags a root relaxation cut off by the time limit
+    # (reference lines 774-776); here the analogue is exiting on the time
+    # limit while the root node's bound is still being refined
+    root_node_timeout = bool(time_taken > cfg.time_limit and 1 in tree.nodes)
+
     solution["MSE_in"] = float(compute_MSE(solution["X"], A, mask, kind="in"))
     solution["MSE_out"] = float(compute_MSE(solution["X"], A, mask, kind="out"))
     solution["MSE_all"] = float(compute_MSE(solution["X"], A, mask, kind="all"))
@@ -938,8 +1011,19 @@ def matrix_completion_branchandbound(
             "solve_time_relaxation_feasibility": solve_time_relaxation_feasibility,
             "solve_time_relaxation": solve_time_relaxation,
             "dict_solve_times_relaxation": dict_solve_times_relaxation,
+            # TPU-native phase split: device solver wall vs host float64
+            # certification vs host incumbent polish (SURVEY.md section 5)
+            "solve_time_device": solve_time_device,
+            "solve_time_certify": solve_time_certify,
+            "solve_time_polish": solve_time_polish,
+            "sdp_iters_total": sdp_iters_total,
+            "device_steps": device_steps,
             "root_node_timeout": root_node_timeout,
             "nodes_explored": tree.nodes_explored,
+            # TPU-native: bound-refinement re-visits (kept out of
+            # nodes_explored so census/nodes_per_sec stay 1:1 comparable
+            # with the reference's one-solve-per-node counts)
+            "refinement_visits": tree.refinement_visits,
             "nodes_total": tree.counter,
         }
     )

@@ -70,6 +70,10 @@ class BBTree:
         self.counter = 1
         self.last_updated_counter = 1
         self.nodes_explored = 0
+        # bound-refinement re-visits (TPU-native; see ``requeue``).  Counted
+        # separately so ``nodes_explored`` stays 1:1 with the reference's
+        # one-solve-per-node census (reference lines 411-454).
+        self.refinement_visits = 0
         self.best_upper_bound = best_upper_bound
         self.best_lower_bound = -np.inf
         self.now_gap = np.inf
@@ -129,7 +133,10 @@ class BBTree:
                 break
             node = self.nodes.pop(nid)
             self._heap_lb.pop(nid, None)
-            self.nodes_explored += 1
+            if node.refines == 0:
+                self.nodes_explored += 1
+            else:
+                self.refinement_visits += 1
             out.append(node)
         return out
 

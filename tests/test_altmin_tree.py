@@ -111,3 +111,40 @@ def test_root_box_symmetry_breaking():
     assert np.all(lo[3:, 0] == 0.0)
     assert np.all(lo[4:, 1] == 0.0)
     assert lo[0, 0] == -1.0
+
+
+def test_altmin_cut_constrained_stays_in_region():
+    """The cut-constrained U-step (reference lines 2048-2092) keeps the
+    altmin iterate inside the node's disjunctive region; the unconstrained
+    variant escapes it on a region that excludes the root basin."""
+    n = m = 10
+    k, gamma = 1, 20.0
+    A, idx = generate_matrix_completion_data(k, n, m, 60, seed=0)
+    mask = idx.astype(np.float64)
+    U0 = np.linalg.svd(A * mask, full_matrices=False)[0][:, :k]
+    lo, hi = root_box(n, k)
+    am = make_altmin(n, m, k, gamma, dtype=jnp.float64)
+
+    # region: v = x' U constrained to the side OPPOSITE the warm start
+    x = U0[:, 0] / np.linalg.norm(U0[:, 0])
+    v0 = float(x @ U0[:, 0])  # ~1 by construction
+    cut_x = jnp.asarray(x[None, None, :])  # (B=1, L=1, n)
+    cut_lo = jnp.asarray(np.array([[[-1.0]]]))
+    cut_hi = jnp.asarray(np.array([[[-0.2]]]))
+    cut_mask = jnp.ones((1, 1))
+
+    res_free = am(jnp.asarray(A), jnp.asarray(mask), jnp.asarray(U0[None]),
+                  jnp.asarray(lo[None]), jnp.asarray(hi[None]))
+    res_cut = am(jnp.asarray(A), jnp.asarray(mask), jnp.asarray(U0[None]),
+                 jnp.asarray(lo[None]), jnp.asarray(hi[None]),
+                 cut_x=cut_x, cut_lo=cut_lo, cut_hi=cut_hi,
+                 cut_mask=cut_mask)
+    v_free = float(x @ np.asarray(res_free.U[0])[:, 0])
+    v_cut = float(x @ np.asarray(res_cut.U[0])[:, 0])
+    assert v0 > 0.5  # warm start is deep in the excluded side
+    assert v_free > -0.2 + 1e-6  # unconstrained escapes the region
+    assert -1.0 - 1e-9 <= v_cut <= -0.2 + 1e-6  # constrained stays in
+    # box and column-ball feasibility of the constrained iterate
+    U_c = np.asarray(res_cut.U[0])
+    assert np.all(U_c >= lo - 1e-9) and np.all(U_c <= hi + 1e-9)
+    assert np.linalg.norm(U_c[:, 0]) <= 1.0 + 1e-9
