@@ -171,29 +171,56 @@ def matrix_completion_SDP_relaxation(
         L = max(1, len(node.cuts or []))
         batch = _pack_batch([node], 1, L, n, k, disjunctive_cuts_type, np_dtype)
         if add_Shor_valid_inequalities:
-            if k != 1:
-                raise NotImplementedError(
-                    "per-node Shor relaxation entry supports k = 1; use the "
-                    "driver for the k > 1 Xt-split path"
-                )
             M5 = max(1, len(node.Shor_info.constraints_indexes))
-            sbh = pack_shor_batch(
-                n, m, [node.Shor_info.constraints_indexes],
-                [node.Shor_info.SOC_constraints_indexes], M5, n * m,
-            )
-            solve = make_shor_solver(
-                n, m, L, M5, n * m, gamma, iters=iters, dtype=jdtype,
-                sX=sX, sT=sT,
-            )
-            state0 = init_shor_state(
-                1, n, m, k, L, M5, n * m, dtype=jdtype, sX=sX, sT=sT
-            )
-            _, out = solve(
-                A_dev, mask_dev, batch, shor_batch_to_device(sbh, jdtype),
-                ub_bar, state0,
-            )
-            out = {key: np.asarray(val) for key, val in out.items()}
-            lbs = host_certified_bound_shor(A, mask, batch, sbh, out, gamma, ub_bar)
+            if k == 1:
+                sbh = pack_shor_batch(
+                    n, m, [node.Shor_info.constraints_indexes],
+                    [node.Shor_info.SOC_constraints_indexes], M5, n * m,
+                )
+                solve = make_shor_solver(
+                    n, m, L, M5, n * m, gamma, iters=iters, dtype=jdtype,
+                    sX=sX, sT=sT,
+                )
+                state0 = init_shor_state(
+                    1, n, m, k, L, M5, n * m, dtype=jdtype, sX=sX, sT=sT
+                )
+                _, out = solve(
+                    A_dev, mask_dev, batch, shor_batch_to_device(sbh, jdtype),
+                    ub_bar, state0,
+                )
+                out = {key: np.asarray(val) for key, val in out.items()}
+                lbs = host_certified_bound_shor(
+                    A, mask, batch, sbh, out, gamma, ub_bar
+                )
+            else:
+                # rank-k Xt-split path (reference lines 1491-1551, 1781-1828)
+                from omc.sdp.shor_k import (
+                    host_certified_bound_shor_k,
+                    init_shor_k_state,
+                    make_shor_k_solver,
+                    pack_shor_k_batch,
+                    shor_k_batch_to_device,
+                )
+
+                sbh = pack_shor_k_batch(
+                    n, m, [node.Shor_info.constraints_indexes],
+                    [node.Shor_info.SOC_constraints_indexes], M5, n * m,
+                )
+                solve = make_shor_k_solver(
+                    n, m, k, L, M5, n * m, gamma, iters=iters, dtype=jdtype,
+                    sX=sX, sT=sT,
+                )
+                state0 = init_shor_k_state(
+                    1, n, m, k, L, M5, n * m, dtype=jdtype, sX=sX, sT=sT
+                )
+                _, out = solve(
+                    A_dev, mask_dev, batch, shor_k_batch_to_device(sbh, jdtype),
+                    ub_bar, state0,
+                )
+                out = {key: np.asarray(val) for key, val in out.items()}
+                lbs = host_certified_bound_shor_k(
+                    A, mask, batch, sbh, out, gamma, k, ub_bar
+                )
             W = out["W"][0].astype(np.float64)
         else:
             solve = make_admm_solver(

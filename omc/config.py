@@ -68,6 +68,14 @@ class SolverConfig:
     # remaining local gap, up to max_refines visits
     refine_frac: float = 0.25
     max_refines: int = 12
+    # rho portfolio: when the frontier underfills the batch bucket, fill
+    # the padded slots with REPLICAS of the live nodes running at these
+    # multiples of their current ADMM penalty; every replica's certified
+    # bound is valid, so the per-node max is taken (sound) and the winning
+    # replica's state/penalty carries forward — a free parallel line search
+    # on the worst ADMM hyperparameter.  () disables.  Slot 0 multiplier is
+    # implicitly 1.0 (the node's own penalty always keeps one slot).
+    rho_portfolio: Tuple[float, ...] = (0.25, 4.0, 0.0625)
     sdp_warm_start: bool = True  # warm-start children from parent duals
     # when the frontier underfills the batch, raise the per-visit iteration
     # budget by up to this factor (padded slots cost the same device time

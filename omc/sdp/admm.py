@@ -92,6 +92,24 @@ def init_admm_state(B, n, m, k, L, dtype=jnp.float32, *, sX=1.0, sT=1.0,
     )
 
 
+def set_slot_rho(state: ADMMState, rho_new) -> ADMMState:
+    """Re-target per-slot penalties (the rho-portfolio driver path).
+
+    The state stores *scaled* duals u = y / rho; changing a slot's rho
+    while preserving the underlying duals y requires u *= rho_old/rho_new.
+    The Woodbury z-step is rho-free (see ``_gram1``), so no refactorisation
+    happens — this is a pure elementwise rescale."""
+    rho_new = jnp.asarray(rho_new, state.rho.dtype)
+    r = state.rho / rho_new
+    r3 = r[:, None, None]
+    return state._replace(
+        u1=state.u1 * r3, u2=state.u2 * r3, u3=state.u3 * r3,
+        u4=state.u4 * r, usoc=state.usoc * r3, ubox=state.ubox * r3,
+        ua=state.ua * r3, ub=state.ub * r3, uc=state.uc * r[:, None],
+        rho=jnp.broadcast_to(rho_new, state.rho.shape),
+    )
+
+
 def _forward(batch: NodeBatch, Xs, Y, Ths, U, k, sX, sT):
     """Affine slot map (with constants), including the U box slot."""
     X = sX * Xs

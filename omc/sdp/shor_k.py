@@ -1,0 +1,977 @@
+"""Batched ADMM node relaxation with Shor valid inequalities, k > 1 path.
+
+Implements the reference's rank-k Shor strengthening
+(`/root/reference/src/OptimalMatrixCompletion.jl:1491-1551` variables,
+`:1781-1828` constraints, `:1837-1846` W-form objective):
+
+- ``X`` splits into per-term variables ``Xt`` (k, n, m) with
+  ``X = sum_t Xt`` (reference line 1492-1494),
+- per active minor (i1, i2, j1, j2) and per term t, a 5x5 PSD block on
+  ``[1, Xt_11, Xt_12, Xt_21, Xt_22]`` against ``Wt``/``V1``/``V2``/``V3``
+  entries (lines 1797-1809),
+- per minor *coordinate* (i, j), a (k+1)x(k+1) ``XWH`` PSD block
+  ``[[1, Xt'], [Xt, M]]`` with ``M_tt = Wt[t]``, ``M_t1t2 = H[(t1,t2)]``
+  (lines 1810-1826),
+- linkage ``W_ij = sum_t Wt + 2 sum_{t1<t2} H`` on minor coordinates
+  (lines 1788-1791), rotated SOC ``W_ij >= X_ij^2`` on the complement
+  (lines 1781-1786), and ``Theta_jj = sum_i W_ij`` (lines 1792-1796).
+
+TPU-native design: all Shor state is coordinate-indexed padded tensors
+(capacity C = 4*M5 unique minor coordinates); the z-step stays closed-form:
+
+- the X-block of K'K is, per matrix entry, ``D I_k + c J_k`` (the M1 slot
+  and RSOC rows couple all k terms identically through ``X = sum_t Xt``,
+  while the 5x5 / XWH slots are term-diagonal) — inverted by the
+  Sherman-Morrison identity per entry, no factorisation;
+- the Theta-link and W-link rows form a Woodbury block whose Gram is
+  *diagonal after a diagonal Schur complement* (link rows overlap only on
+  single W entries), so the whole correction is gather/scatter work.
+
+Certification mirrors ``omc.sdp.admm_shor.host_certified_bound_shor`` with
+kept sets ``|Xt| <= R_X``, ``Wt in [0, 2 gamma ub]``, ``|H| <= 2 gamma ub``
+(valid: master points have ``Xt = U_t v_t'`` with ``|Xt_ij| <= ||v_t|| <=
+sqrt(2 gamma ub)``, ``Wt = Xt^2``, ``H = Xt1 Xt2`` entrywise).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omc.ops.cones import project_psd, project_rsoc, project_soc
+from omc.ops.polar import project_psd_ns
+from omc.sdp.admm import (
+    _HI,
+    _V_apply,
+    _Vt_apply,
+    _adjoint,
+    _forward,
+    _gram1,
+    ADMMState as ADMMStateCore,
+    init_admm_state,
+)
+from omc.sdp.relax import NodeBatch
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing
+# ---------------------------------------------------------------------------
+
+
+class ShorKBatchHost(NamedTuple):
+    """Numpy-side rank-k Shor batch.
+
+    minor_idx:   (B, M5, 4) int32  (i1, i2, j1, j2)
+    minor_mask:  (B, M5)
+    mc:          (B, M5, 4) int32  coordinate index (into the C axis) of the
+                 minor's four corners, order (i1,j1), (i1,j2), (i2,j1), (i2,j2)
+    coord_flat:  (B, C) int32      flat i*m+j of each unique minor coordinate
+    coord_j:     (B, C) int32      column j of each coordinate
+    coord_mask:  (B, C)
+    coord_minor_cnt: (B, C)        minors containing each coordinate
+    iv1a/iv1b/iv2a/iv2b/iv3: (B, M5) int32  shared V-array gather tables
+    soc_flat:    (B, Ms) int32     flat coords of the RSOC complement rows
+    soc_mask:    (B, Ms)
+    cnt_minor:   (B, n, m)         minors containing each matrix entry
+    is_coord:    (B, n, m)         1.0 on minor coordinates
+    is_soc:      (B, n, m)         1.0 on RSOC complement coordinates
+    cnt_v1/v2/v3: (B, P*)          K'K diagonal counts of the shared V arrays
+    """
+
+    minor_idx: np.ndarray
+    minor_mask: np.ndarray
+    mc: np.ndarray
+    coord_flat: np.ndarray
+    coord_j: np.ndarray
+    coord_mask: np.ndarray
+    coord_minor_cnt: np.ndarray
+    iv1a: np.ndarray
+    iv1b: np.ndarray
+    iv2a: np.ndarray
+    iv2b: np.ndarray
+    iv3: np.ndarray
+    soc_flat: np.ndarray
+    soc_mask: np.ndarray
+    cnt_minor: np.ndarray
+    is_coord: np.ndarray
+    is_soc: np.ndarray
+    cnt_v1: np.ndarray
+    cnt_v2: np.ndarray
+    cnt_v3: np.ndarray
+
+
+class ShorKBatch(NamedTuple):
+    minor_idx: jnp.ndarray
+    minor_mask: jnp.ndarray
+    mc: jnp.ndarray
+    coord_flat: jnp.ndarray
+    coord_j: jnp.ndarray
+    coord_mask: jnp.ndarray
+    coord_minor_cnt: jnp.ndarray
+    iv1a: jnp.ndarray
+    iv1b: jnp.ndarray
+    iv2a: jnp.ndarray
+    iv2b: jnp.ndarray
+    iv3: jnp.ndarray
+    soc_flat: jnp.ndarray
+    soc_mask: jnp.ndarray
+    cnt_minor: jnp.ndarray
+    is_coord: jnp.ndarray
+    is_soc: jnp.ndarray
+    cnt_v1: jnp.ndarray
+    cnt_v2: jnp.ndarray
+    cnt_v3: jnp.ndarray
+
+
+def shor_k_batch_to_device(h: ShorKBatchHost, dtype) -> ShorKBatch:
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    i = lambda a: jnp.asarray(a, dtype=jnp.int32)
+    return ShorKBatch(
+        minor_idx=i(h.minor_idx), minor_mask=f(h.minor_mask), mc=i(h.mc),
+        coord_flat=i(h.coord_flat), coord_j=i(h.coord_j),
+        coord_mask=f(h.coord_mask), coord_minor_cnt=f(h.coord_minor_cnt),
+        iv1a=i(h.iv1a), iv1b=i(h.iv1b), iv2a=i(h.iv2a), iv2b=i(h.iv2b),
+        iv3=i(h.iv3), soc_flat=i(h.soc_flat), soc_mask=f(h.soc_mask),
+        cnt_minor=f(h.cnt_minor), is_coord=f(h.is_coord), is_soc=f(h.is_soc),
+        cnt_v1=f(h.cnt_v1), cnt_v2=f(h.cnt_v2), cnt_v3=f(h.cnt_v3),
+    )
+
+
+def pack_shor_k_batch(
+    n: int,
+    m: int,
+    minors_per_node: List[Sequence[Tuple[int, int, int, int]]],
+    soc_per_node: List[Sequence[Tuple[int, int]]],
+    M5: int,
+    Msoc: int,
+) -> ShorKBatchHost:
+    B = len(minors_per_node)
+    C = 4 * M5
+    P1 = P2 = 2 * M5
+    P3 = M5
+    minor_idx = np.zeros((B, M5, 4), dtype=np.int32)
+    minor_mask = np.zeros((B, M5))
+    mc = np.zeros((B, M5, 4), dtype=np.int32)
+    coord_flat = np.zeros((B, C), dtype=np.int32)
+    coord_j = np.zeros((B, C), dtype=np.int32)
+    coord_mask = np.zeros((B, C))
+    coord_minor_cnt = np.zeros((B, C))
+    iv1a = np.zeros((B, M5), dtype=np.int32)
+    iv1b = np.zeros((B, M5), dtype=np.int32)
+    iv2a = np.zeros((B, M5), dtype=np.int32)
+    iv2b = np.zeros((B, M5), dtype=np.int32)
+    iv3 = np.zeros((B, M5), dtype=np.int32)
+    soc_flat = np.zeros((B, Msoc), dtype=np.int32)
+    soc_mask = np.zeros((B, Msoc))
+    cnt_minor = np.zeros((B, n, m))
+    is_coord = np.zeros((B, n, m))
+    is_soc = np.zeros((B, n, m))
+    cnt_v1 = np.zeros((B, P1))
+    cnt_v2 = np.zeros((B, P2))
+    cnt_v3 = np.zeros((B, P3))
+
+    for b in range(B):
+        minors = list(minors_per_node[b])
+        if len(minors) > M5:
+            raise ValueError(f"node has {len(minors)} Shor minors > capacity {M5}")
+        cmap: Dict[Tuple[int, int], int] = {}
+        v1_map: Dict[Tuple[int, int, int], int] = {}
+        v2_map: Dict[Tuple[int, int, int], int] = {}
+        v3_map: Dict[Tuple[int, int, int, int], int] = {}
+
+        def get(mapping, key, cap, name):
+            if key not in mapping:
+                if len(mapping) >= cap:
+                    raise ValueError(f"{name} capacity exceeded")
+                mapping[key] = len(mapping)
+            return mapping[key]
+
+        for l, (i1, i2, j1, j2) in enumerate(minors):
+            minor_idx[b, l] = (i1, i2, j1, j2)
+            minor_mask[b, l] = 1.0
+            for corner, (i, j) in enumerate(((i1, j1), (i1, j2), (i2, j1), (i2, j2))):
+                ci = get(cmap, (i, j), C, "coord")
+                mc[b, l, corner] = ci
+                coord_flat[b, ci] = i * m + j
+                coord_j[b, ci] = j
+                coord_mask[b, ci] = 1.0
+                coord_minor_cnt[b, ci] += 1.0
+                cnt_minor[b, i, j] += 1.0
+                is_coord[b, i, j] = 1.0
+            iv1a[b, l] = get(v1_map, (i1, j1, j2), P1, "v1")
+            iv1b[b, l] = get(v1_map, (i2, j1, j2), P1, "v1")
+            iv2a[b, l] = get(v2_map, (i1, i2, j1), P2, "v2")
+            iv2b[b, l] = get(v2_map, (i1, i2, j2), P2, "v2")
+            iv3[b, l] = get(v3_map, (i1, i2, j1, j2), P3, "v3")
+            cnt_v1[b, iv1a[b, l]] += 2.0
+            cnt_v1[b, iv1b[b, l]] += 2.0
+            cnt_v2[b, iv2a[b, l]] += 2.0
+            cnt_v2[b, iv2b[b, l]] += 2.0
+            cnt_v3[b, iv3[b, l]] += 4.0
+
+        socs = list(soc_per_node[b])
+        if len(socs) > Msoc:
+            raise ValueError(f"node has {len(socs)} RSOC rows > capacity {Msoc}")
+        for s, (i, j) in enumerate(socs):
+            soc_flat[b, s] = i * m + j
+            soc_mask[b, s] = 1.0
+            is_soc[b, i, j] = 1.0
+
+    return ShorKBatchHost(
+        minor_idx=minor_idx, minor_mask=minor_mask, mc=mc,
+        coord_flat=coord_flat, coord_j=coord_j, coord_mask=coord_mask,
+        coord_minor_cnt=coord_minor_cnt,
+        iv1a=iv1a, iv1b=iv1b, iv2a=iv2a, iv2b=iv2b, iv3=iv3,
+        soc_flat=soc_flat, soc_mask=soc_mask,
+        cnt_minor=cnt_minor, is_coord=is_coord, is_soc=is_soc,
+        cnt_v1=cnt_v1, cnt_v2=cnt_v2, cnt_v3=cnt_v3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Solver state
+# ---------------------------------------------------------------------------
+
+
+class ShorKState(NamedTuple):
+    core: ADMMStateCore  # core cones; core.X holds sum_t Xt (for outputs)
+    Xt: jnp.ndarray  # (B, k, n, m) scaled by sX
+    W: jnp.ndarray  # (B, n, m) scaled by sW
+    Wt: jnp.ndarray  # (B, k, C) scaled
+    Hh: jnp.ndarray  # (B, kp, C) scaled
+    v1: jnp.ndarray  # (B, k, P1)
+    v2: jnp.ndarray  # (B, k, P2)
+    v3: jnp.ndarray  # (B, k, P3)
+    w5: jnp.ndarray  # (B, M5, k, 5, 5)
+    u5: jnp.ndarray
+    wx: jnp.ndarray  # (B, C, k+1, k+1)
+    ux: jnp.ndarray
+    wr: jnp.ndarray  # (B, Ms, 3)
+    ur: jnp.ndarray
+    wl: jnp.ndarray  # (B, m)  Theta-link (zero cone)
+    ul: jnp.ndarray
+    wwl: jnp.ndarray  # (B, C)  W-link (zero cone)
+    uwl: jnp.ndarray
+    wp: jnp.ndarray  # (B, n, m)  W >= 0
+    up: jnp.ndarray
+    wq: jnp.ndarray  # (B, k, C)  Wt >= 0
+    uq: jnp.ndarray
+
+
+def init_shor_k_state(B, n, m, k, L, M5, Ms, dtype=jnp.float32, *, sX=1.0,
+                      sT=1.0, rho=0.02, X0=None, Y0=None, Th0=None,
+                      U0=None) -> ShorKState:
+    C = 4 * M5
+    P1 = P2 = 2 * M5
+    P3 = M5
+    kp = (k * (k - 1)) // 2
+    z = lambda *s: jnp.zeros(s, dtype=dtype)
+    core = init_admm_state(B, n, m, k, L, dtype, sX=sX, sT=sT, rho=rho,
+                           X0=X0, Y0=Y0, Th0=Th0, U0=U0)
+    Xt0 = z(B, k, n, m)
+    if X0 is not None:
+        # split the warm primal evenly across terms (any split with the
+        # right sum is feasible for the core cones)
+        Xt0 = jnp.broadcast_to(
+            jnp.asarray(X0, dtype)[:, None] / (sX * k), (B, k, n, m)
+        )
+    return ShorKState(
+        core=core, Xt=Xt0, W=z(B, n, m), Wt=z(B, k, C), Hh=z(B, kp, C),
+        v1=z(B, k, P1), v2=z(B, k, P2), v3=z(B, k, P3),
+        w5=z(B, M5, k, 5, 5), u5=z(B, M5, k, 5, 5),
+        wx=z(B, C, k + 1, k + 1), ux=z(B, C, k + 1, k + 1),
+        wr=z(B, Ms, 3), ur=z(B, Ms, 3), wl=z(B, m), ul=z(B, m),
+        wwl=z(B, C), uwl=z(B, C), wp=z(B, n, m), up=z(B, n, m),
+        wq=z(B, k, C), uq=z(B, k, C),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward / adjoint of the Shor-k slots
+# ---------------------------------------------------------------------------
+
+
+def _gather_bk(flat_bk, idx_b):
+    """flat_bk (B, k, N), idx_b (B, M) -> (B, k, M)."""
+    B, k, N = flat_bk.shape
+    M = idx_b.shape[1]
+    idx = jnp.broadcast_to(idx_b[:, None, :], (B, k, M))
+    return jnp.take_along_axis(flat_bk, idx, axis=2)
+
+
+def _scatter_add_bk(target, idx_b, val_bkM):
+    """Accumulate val (B, k, M) into target (B, k, N) at idx (B, M)."""
+    B, k, N = target.shape
+    M = idx_b.shape[1]
+    idx = jnp.broadcast_to(idx_b[:, None, :], (B, k, M))
+    return target.at[
+        jnp.arange(B)[:, None, None], jnp.arange(k)[None, :, None], idx
+    ].add(val_bkM)
+
+
+def _pair_indices(k: int):
+    t1s, t2s = [], []
+    for a in range(k):
+        for b in range(a + 1, k):
+            t1s.append(a)
+            t2s.append(b)
+    return t1s, t2s
+
+
+def _forward_shor_k(sb: ShorKBatch, Xt_s, Ws, Wts, Hs, v1s, v2s, v3s,
+                    k: int, m: int, sX, sW):
+    """Slot values: w5 (B,M5,k,5,5), wx (B,C,k+1,k+1), wr (B,Ms,3),
+    wcol (B,m) = sum_i W_ij, wwl (B,C)."""
+    B = Xt_s.shape[0]
+    M5 = sb.minor_mask.shape[1]
+    C = sb.coord_mask.shape[1]
+    Xf = (sX * Xt_s).reshape(B, k, -1)  # (B, k, n*m)
+    corner_flat = jnp.take_along_axis(sb.coord_flat, sb.mc.reshape(B, -1), axis=1)
+    corner_flat = corner_flat.reshape(B, M5, 4)
+
+    xs = [_gather_bk(Xf, corner_flat[..., c]) for c in range(4)]  # 4 x (B,k,M5)
+    ws = [
+        _gather_bk(sW * Wts, sb.mc[..., c]) for c in range(4)
+    ]  # Wt at the corner coords
+    V1a = _gather_bk(sW * v1s, sb.iv1a)
+    V1b = _gather_bk(sW * v1s, sb.iv1b)
+    V2a = _gather_bk(sW * v2s, sb.iv2a)
+    V2b = _gather_bk(sW * v2s, sb.iv2b)
+    V3 = _gather_bk(sW * v3s, sb.iv3)
+    one = jnp.ones_like(xs[0])
+    x11, x12, x21, x22 = xs
+    w11, w12, w21, w22 = ws
+    rows = [
+        [one, x11, x12, x21, x22],
+        [x11, w11, V1a, V2a, V3],
+        [x12, V1a, w12, V3, V2b],
+        [x21, V2a, V3, w21, V1b],
+        [x22, V3, V2b, V1b, w22],
+    ]
+    w5 = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+    w5 = jnp.moveaxis(w5, 1, 2)  # (B, k, M5, 5, 5) -> (B, M5, k, 5, 5)
+
+    # XWH block per coordinate
+    Xc = _gather_bk(Xf, sb.coord_flat)  # (B, k, C)
+    Xc = jnp.swapaxes(Xc, 1, 2)  # (B, C, k)
+    Wc = jnp.swapaxes(sW * Wts, 1, 2)  # (B, C, k)
+    kp = Hs.shape[1]
+    wx = jnp.zeros((B, C, k + 1, k + 1), dtype=Xt_s.dtype)
+    wx = wx.at[..., 0, 0].set(1.0)
+    wx = wx.at[..., 0, 1:].set(Xc)
+    wx = wx.at[..., 1:, 0].set(Xc)
+    tt = jnp.arange(k)
+    wx = wx.at[..., tt + 1, tt + 1].set(Wc)
+    if kp:
+        t1s, t2s = _pair_indices(k)
+        Hc = jnp.swapaxes(sW * Hs, 1, 2)  # (B, C, kp)
+        t1a = jnp.asarray(t1s)
+        t2a = jnp.asarray(t2s)
+        wx = wx.at[..., t1a + 1, t2a + 1].set(Hc)
+        wx = wx.at[..., t2a + 1, t1a + 1].set(Hc)
+
+    # RSOC rows on the complement: (0.5, W, X) with X = sum_t Xt
+    Xsum = jnp.sum(Xf, axis=1)  # (B, n*m)
+    Wf = (sW * Ws).reshape(B, -1)
+    wr = jnp.stack(
+        [
+            0.5 * jnp.ones(sb.soc_flat.shape, Xt_s.dtype),
+            jnp.take_along_axis(Wf, sb.soc_flat, axis=1),
+            jnp.take_along_axis(Xsum, sb.soc_flat, axis=1),
+        ],
+        axis=-1,
+    )
+    wcol = jnp.sum(sW * Ws, axis=-2)  # (B, m)
+    # W-link: W_c - sum_t Wt - 2 sum_p H on minor coordinates
+    Wat = jnp.take_along_axis(Wf, sb.coord_flat, axis=1)  # (B, C)
+    wwl = (
+        Wat - jnp.sum(sW * Wts, axis=1) - 2.0 * jnp.sum(sW * Hs, axis=1)
+    ) * sb.coord_mask
+    return w5, wx, wr, wcol, wwl
+
+
+def _adjoint_shor_k(sb: ShorKBatch, y5, yx, yr, yl, ywl, B, n, m, k, kp,
+                    sX, sW):
+    """Adjoint: duals -> gradients on (Xt_s, Ws, Wts, Hs, v1s, v2s, v3s).
+    The Theta-diagonal contribution of yl is added by the caller."""
+    M5 = sb.minor_mask.shape[1]
+    C = sb.coord_mask.shape[1]
+    y5 = y5 * sb.minor_mask[..., None, None, None]
+    yx = yx * sb.coord_mask[..., None, None]
+    yr = yr * sb.soc_mask[..., None]
+    ywl = ywl * sb.coord_mask
+
+    y5k = jnp.moveaxis(y5, 2, 1)  # (B, k, M5, 5, 5)
+    corner_flat = jnp.take_along_axis(sb.coord_flat, sb.mc.reshape(B, -1), axis=1)
+    corner_flat = corner_flat.reshape(B, M5, 4)
+
+    gXt = jnp.zeros((B, k, n * m), dtype=y5.dtype)
+    gWt = jnp.zeros((B, k, C), dtype=y5.dtype)
+    for c in range(4):
+        gXt = _scatter_add_bk(gXt, corner_flat[..., c],
+                              sX * 2.0 * y5k[..., 0, c + 1])
+        gWt = _scatter_add_bk(gWt, sb.mc[..., c], sW * y5k[..., c + 1, c + 1])
+    gv1 = jnp.zeros((B, k, sb.cnt_v1.shape[1]), dtype=y5.dtype)
+    gv2 = jnp.zeros((B, k, sb.cnt_v2.shape[1]), dtype=y5.dtype)
+    gv3 = jnp.zeros((B, k, sb.cnt_v3.shape[1]), dtype=y5.dtype)
+    gv1 = _scatter_add_bk(gv1, sb.iv1a, sW * 2.0 * y5k[..., 1, 2])
+    gv1 = _scatter_add_bk(gv1, sb.iv1b, sW * 2.0 * y5k[..., 3, 4])
+    gv2 = _scatter_add_bk(gv2, sb.iv2a, sW * 2.0 * y5k[..., 1, 3])
+    gv2 = _scatter_add_bk(gv2, sb.iv2b, sW * 2.0 * y5k[..., 2, 4])
+    gv3 = _scatter_add_bk(gv3, sb.iv3,
+                          sW * 2.0 * (y5k[..., 1, 4] + y5k[..., 2, 3]))
+
+    # XWH adjoint
+    gXc = sX * 2.0 * yx[..., 0, 1:]  # (B, C, k)
+    gXt = _scatter_add_bk(gXt, sb.coord_flat, jnp.swapaxes(gXc, 1, 2))
+    tt = jnp.arange(k)
+    gWt = gWt + sW * jnp.swapaxes(yx[..., tt + 1, tt + 1], 1, 2)
+    gH = jnp.zeros((B, kp, C), dtype=y5.dtype)
+    if kp:
+        t1s, t2s = _pair_indices(k)
+        t1a = jnp.asarray(t1s)
+        t2a = jnp.asarray(t2s)
+        gHc = sW * (yx[..., t1a + 1, t2a + 1] + yx[..., t2a + 1, t1a + 1])
+        gH = jnp.swapaxes(gHc, 1, 2)
+
+    # RSOC rows: the X slot is sum_t Xt, so the gradient lands on every term
+    gWf = jnp.zeros((B, n * m), dtype=y5.dtype)
+    bidx = jnp.arange(B)[:, None]
+    gWf = gWf.at[bidx, sb.soc_flat].add(sW * yr[..., 1])
+    gXt = _scatter_add_bk(
+        gXt, sb.soc_flat,
+        jnp.broadcast_to((sX * yr[..., 2])[:, None, :],
+                         (B, k, yr.shape[1])),
+    )
+
+    # W-link adjoint: +ywl on W_c, -ywl on Wt[:, c], -2 ywl on H[:, c]
+    gWf = gWf.at[bidx, sb.coord_flat].add(sW * ywl)
+    gWt = gWt - sW * ywl[:, None, :]
+    gH = gH - 2.0 * sW * ywl[:, None, :]
+
+    # Theta-link rows: -yl_j on every W_ij
+    gW = gWf.reshape(B, n, m) - sW * yl[:, None, :]
+    return gXt.reshape(B, k, n, m), gW, gWt, gH, gv1, gv2, gv3
+
+
+def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
+                       gamma: float, *, iters: int = 400,
+                       dtype=jnp.float32, alpha: float = 1.6,
+                       sX: float = 1.0, sT: float = 1.0,
+                       psd_method: str = "auto", jit: bool = True):
+    """Batched ADMM solver for the rank-k (k > 1) Shor relaxation.
+
+    solve(A, mask, batch, sb, ub_bar, state) -> (state, out); ``out``
+    carries the unscaled primal (X = sum_t Xt, Xt, W, Y, Th, U), dual
+    blocks for certification, and the separation eigenpairs.
+    """
+    assert k >= 2
+    if psd_method == "auto":
+        psd_method = "eigh" if dtype == jnp.float64 else "ns"
+    proj = project_psd_ns if psd_method == "ns" else project_psd
+    sW = sX * sX
+    kp = (k * (k - 1)) // 2
+    C = 4 * M5
+
+    def solve(A, mask, batch: NodeBatch, sb: ShorKBatch, ub_bar,
+              state: ShorKState, n_iters=None):
+        ni = jnp.asarray(iters if n_iters is None else n_iters, jnp.int32)
+        A = A.astype(dtype)
+        mask = mask.astype(dtype)
+        B = batch.cut_mask.shape[0]
+        cm = batch.cut_mask
+        m5m = sb.minor_mask
+        cdm = sb.coord_mask
+        socm = sb.soc_mask
+
+        G1 = _gram1(batch, k, dtype)
+        G1c = jax.lax.linalg.cholesky(G1)
+
+        # objective: all linear under the W form
+        cXt = -sX * (mask * A)  # applied to EVERY term t
+        cW = 0.5 * sW * mask
+        cTh = (sT * 0.5 / gamma) * jnp.eye(m, dtype=dtype)
+
+        # --- rho-free K'K diagonals (D = rho * D1) ---
+        # X block, per entry: D1x I_k + c1x J_k.  For entries outside every
+        # minor/XWH block, only the sum over t is constrained (D1x = 0 and
+        # the k x k block c1x J_k is singular), so a proximal term
+        # tau_x ||Xt - Xt_prev||^2 regularises the split — standard
+        # proximal ADMM, convergent, and exact in the sum direction.
+        tau_x = sX * sX
+        D1x = sX * sX * (2.0 * sb.cnt_minor + 2.0 * sb.is_coord) + tau_x
+        c1x = sX * sX * (2.0 + sb.is_soc)
+        D1w = sW * sW * (1.0 + sb.is_soc.reshape(B, -1))  # (B, n*m)
+        D1wt = sW * sW * (sb.coord_minor_cnt + cdm + 1.0)  # (B, C)
+        D1h = sW * sW * jnp.maximum(2.0 * cdm, 1.0)  # (B, C)
+        D1v1 = sW * sW * jnp.maximum(sb.cnt_v1, 1.0)
+        D1v2 = sW * sW * jnp.maximum(sb.cnt_v2, 1.0)
+        D1v3 = sW * sW * jnp.maximum(sb.cnt_v3, 1.0)
+
+        # --- link Woodbury (diagonal Schur; see module docstring) ---
+        D1w_mat = D1w.reshape(B, n, m)
+        A_th = 2.0 + jnp.sum(sW * sW / D1w_mat, axis=1)  # (B, m)
+        D1w_c = jnp.take_along_axis(D1w, sb.coord_flat, axis=1)  # (B, C)
+        D_c = 1.0 + cdm * (
+            sW * sW / D1w_c
+            + k * (sW * sW) / D1wt
+            + kp * 4.0 * (sW * sW) / D1h
+        )
+        B_jc = -cdm * (sW * sW) / D1w_c  # (B, C): entry (coord_j[c], c)
+        bidx = jnp.arange(B)[:, None]
+        S_th = A_th - jnp.zeros_like(A_th).at[bidx, sb.coord_j].add(
+            B_jc * B_jc / D_c
+        )
+
+        def link_solve(p, q):
+            """G2 [a; b] = [p; q] with the diagonal Schur structure."""
+            q0 = q / D_c
+            Bq = jnp.zeros_like(p).at[bidx, sb.coord_j].add(B_jc * q0)
+            a = (p - Bq) / S_th
+            b = (q - B_jc * jnp.take_along_axis(a, sb.coord_j, axis=1)) / D_c
+            return a, b
+
+        zeros4 = (jnp.zeros((B, n, m), dtype), jnp.zeros((B, n, n), dtype),
+                  jnp.zeros((B, m, m), dtype), jnp.zeros((B, n, k), dtype))
+        offs = _forward(batch, *zeros4, k, sX, sT)
+        zsh = (jnp.zeros((B, k, n, m), dtype), jnp.zeros((B, n, m), dtype),
+               jnp.zeros((B, k, C), dtype), jnp.zeros((B, kp, C), dtype),
+               jnp.zeros_like(state.v1), jnp.zeros_like(state.v2),
+               jnp.zeros_like(state.v3))
+        offs5, offsx, offsr, _, _ = _forward_shor_k(
+            sb, *zsh, k, m, sX, sW
+        )
+
+        R_Xs = jnp.sqrt(2.0 * gamma * ub_bar).astype(dtype) / sX
+
+        def body(it, st: ShorKState):
+            c0 = st.core
+            rho_b = c0.rho
+            r3 = rho_b[:, None, None]
+            r4 = rho_b[:, None, None, None]
+            r2 = rho_b[:, None]
+
+            rX, rY, rTh, rU = _adjoint(
+                batch,
+                c0.w1 - c0.u1 - offs[0], c0.w2 - c0.u2 - offs[1],
+                c0.w3 - c0.u3 - offs[2], c0.w4 - c0.u4 - offs[3],
+                c0.wsoc - c0.usoc - offs[4], c0.wbox - c0.ubox - offs[5],
+                (c0.wa - c0.ua - offs[6]) * cm[..., None],
+                (c0.wb - c0.ub - offs[7]) * cm[..., None],
+                (c0.wc - c0.uc - offs[8]) * cm,
+                n, m, k, sX, sT,
+            )
+            gXt, gW, gWt, gH, gv1, gv2, gv3 = _adjoint_shor_k(
+                sb,
+                st.w5 - st.u5 - offs5, st.wx - st.ux - offsx,
+                st.wr - st.ur - offsr, st.wl - st.ul, st.wwl - st.uwl,
+                B, n, m, k, kp, sX, sW,
+            )
+            # W >= 0 and Wt >= 0 identity slots
+            gW = gW + sW * (st.wp - st.up)
+            gWt = gWt + sW * (st.wq - st.uq)
+            # Theta-link touches the Theta diagonal with coefficient sT
+            yl = st.wl - st.ul
+            rTh_l = sT * yl[:, None, :] * jnp.eye(m, dtype=dtype)
+
+            # rhs = rho * K'(w - u - b) - c, then divide by rho * D1
+            RXt = r4 * (rX[:, None] + gXt) - cXt[None, None]
+            RY = r3 * rY
+            RT = r3 * (rTh + rTh_l) - cTh[None]
+            RU = r3 * rU
+            RW = r3 * gW - cW[None]
+            RWt = r4[..., 0] * gWt
+            RH = r4[..., 0] * gH
+            Rv1 = r4[..., 0] * gv1
+            Rv2 = r4[..., 0] * gv2
+            Rv3 = r4[..., 0] * gv3
+
+            # X block: (D1x I + c1x J)^{-1} per entry (Sherman-Morrison),
+            # with the proximal rhs term tau_x * Xt_prev
+            rx = RXt / r4 + tau_x * st.Xt  # (B, k, n, m)
+            rs = jnp.sum(rx, axis=1)  # (B, n, m)
+            zXt = rx / D1x[:, None] - (
+                c1x * rs / (D1x * (D1x + k * c1x))
+            )[:, None]
+            zY = RY / (3.0 * r3)
+            zTh = RT / (r3 * sT * sT)
+            zU = RU / (4.0 * r3)
+            zW = (RW / r3).reshape(B, -1) / D1w
+            zWt = (RWt / r2[..., None]) / D1wt[:, None, :]
+            zH = (RH / r2[..., None]) / D1h[:, None, :]
+            zv1 = (Rv1 / r2[..., None]) / D1v1[:, None, :]
+            zv2 = (Rv2 / r2[..., None]) / D1v2[:, None, :]
+            zv3 = (Rv3 / r2[..., None]) / D1v3[:, None, :]
+
+            # base Woodbury on (Y, U)
+            s = _Vt_apply(batch, zY, zU, k)
+            t = rho_b[:, None] * jax.scipy.linalg.cho_solve(
+                (G1c, True), s[..., None]
+            )[..., 0]
+            vY, vU = _V_apply(batch, t, n, k)
+            zY = zY - vY / (3.0 * r3)
+            zU = zU - vU / (4.0 * r3)
+
+            # link Woodbury on (Theta, W, Wt, H)
+            zW_mat = zW.reshape(B, n, m)
+            p = sT * jnp.diagonal(zTh, axis1=-2, axis2=-1) - sW * jnp.sum(
+                zW_mat, axis=1
+            )
+            q = cdm * (
+                sW * jnp.take_along_axis(zW, sb.coord_flat, axis=1)
+                - sW * jnp.sum(zWt, axis=1)
+                - 2.0 * sW * jnp.sum(zH, axis=1)
+            )
+            a, bb = link_solve(p, q)
+            # corrections: z -= D1^{-1} V2 [a; b]
+            zTh = zTh - (sT * a / (sT * sT))[:, None, :] * jnp.eye(m, dtype=dtype)
+            corr_W = (-sW) * a[:, None, :]  # Theta-link on every W_ij
+            zW_mat = zW_mat - corr_W / D1w_mat
+            # W-link corrections
+            zW_flat = zW_mat.reshape(B, -1)
+            zW_flat = zW_flat.at[bidx, sb.coord_flat].add(
+                -(sW * bb * cdm) / D1w_c
+            )
+            zWt = zWt - (-(sW) * bb * cdm / D1wt)[:, None, :]
+            zH = zH - (-(2.0 * sW) * bb * cdm / D1h)[:, None, :]
+
+            Y = 0.5 * (zY + jnp.swapaxes(zY, -1, -2))
+            Ths = 0.5 * (zTh + jnp.swapaxes(zTh, -1, -2))
+            Xt = jnp.clip(zXt, -R_Xs, R_Xs)
+            W = zW_flat.reshape(B, n, m)
+            U = zU
+
+            # ---- w/u-steps ----
+            Xsum = jnp.sum(Xt, axis=1)
+            f = _forward(batch, Xsum, Y, Ths, U, k, sX, sT)
+            f5, fx, fr, fw_col, fwl = _forward_shor_k(
+                sb, Xt, W, zWt, zH, zv1, zv2, zv3, k, m, sX, sW
+            )
+            f_link = sT * jnp.diagonal(Ths, axis1=-2, axis2=-1) - fw_col
+
+            def relax_mix(fz, w):
+                return alpha * fz + (1.0 - alpha) * w
+
+            t1 = relax_mix(f[0], c0.w1) + c0.u1
+            w1 = proj(t1)
+            u1 = t1 - w1
+            t2 = relax_mix(f[1], c0.w2) + c0.u2
+            w2 = proj(t2)
+            u2 = t2 - w2
+            t3 = relax_mix(f[2], c0.w3) + c0.u3
+            w3 = proj(t3)
+            u3 = t3 - w3
+            t4 = relax_mix(f[3], c0.w4) + c0.u4
+            w4 = jnp.maximum(t4, 0.0)
+            u4 = t4 - w4
+            tsoc = relax_mix(f[4], c0.wsoc) + c0.usoc
+            pt, pw = project_soc(tsoc[..., 0], tsoc[..., 1:])
+            wsoc = jnp.concatenate([pt[..., None], pw], axis=-1)
+            usoc = tsoc - wsoc
+            tbox = relax_mix(f[5], c0.wbox) + c0.ubox
+            wbox = jnp.clip(tbox, batch.U_lo, batch.U_hi)
+            ubox = tbox - wbox
+            ta = relax_mix(f[6], c0.wa) + c0.ua
+            wa = jnp.maximum(ta, 0.0)
+            ua = (ta - wa) * cm[..., None]
+            tb = relax_mix(f[7], c0.wb) + c0.ub
+            wb = jnp.maximum(tb, 0.0)
+            ub = (tb - wb) * cm[..., None]
+            tc = relax_mix(f[8], c0.wc) + c0.uc
+            wc = jnp.maximum(tc, 0.0)
+            uc = (tc - wc) * cm
+
+            t5 = relax_mix(f5, st.w5) + st.u5
+            w5 = proj(t5.reshape(B, M5 * k, 5, 5)).reshape(t5.shape)
+            u5 = (t5 - w5) * m5m[..., None, None, None]
+            tx = relax_mix(fx, st.wx) + st.ux
+            wxn = proj(tx)
+            uxn = (tx - wxn) * cdm[..., None, None]
+            tr_ = relax_mix(fr, st.wr) + st.ur
+            ru, rv, rx_ = project_rsoc(tr_[..., 0], tr_[..., 1], tr_[..., 2:])
+            wr = jnp.concatenate([ru[..., None], rv[..., None], rx_], axis=-1)
+            ur = (tr_ - wr) * socm[..., None]
+            tl = alpha * f_link + st.ul
+            wl = jnp.zeros_like(tl)
+            ul = tl
+            twl = alpha * fwl + st.uwl
+            wwl = jnp.zeros_like(twl)
+            uwl = twl * cdm
+            tp = relax_mix(sW * W, st.wp) + st.up
+            wp = jnp.maximum(tp, 0.0)
+            up = tp - wp
+            tq = relax_mix(sW * zWt, st.wq) + st.uq
+            wq = jnp.maximum(tq, 0.0)
+            uq = tq - wq
+
+            core = ADMMStateCore(
+                w1=w1, w2=w2, w3=w3, w4=w4, wsoc=wsoc, wbox=wbox,
+                wa=wa, wb=wb, wc=wc,
+                u1=u1, u2=u2, u3=u3, u4=u4, usoc=usoc, ubox=ubox,
+                ua=ua, ub=ub, uc=uc,
+                X=Xsum, Y=Y, Th=Ths, U=U, rho=rho_b,
+            )
+            return ShorKState(
+                core=core, Xt=Xt, W=W, Wt=zWt, Hh=zH, v1=zv1, v2=zv2, v3=zv3,
+                w5=w5, u5=u5, wx=wxn, ux=uxn, wr=wr, ur=ur, wl=wl, ul=ul,
+                wwl=wwl, uwl=uwl, wp=wp, up=up, wq=wq, uq=uq,
+            )
+
+        navg = jnp.maximum(1, ni // 4)
+
+        def body_acc(it, carry):
+            st, acc = carry
+            st = body(it, st)
+            take = (it >= ni - navg)
+            w = jnp.where(take, 1.0, 0.0).astype(dtype)
+            rb = st.core.rho
+            rb3 = rb[:, None, None]
+            acc = (
+                acc[0] + w * rb3 * st.core.u1, acc[1] + w * rb3 * st.core.u2,
+                acc[2] + w * rb3 * st.core.ua, acc[3] + w * rb3 * st.core.ub,
+                acc[4] + w * rb[:, None] * st.core.uc,
+                acc[5] + w * rb[:, None, None, None, None] * st.u5,
+                acc[6] + w * rb[:, None, None, None] * st.ux,
+                acc[7] + w * rb3 * st.ur,
+                acc[8] + w * rb[:, None] * st.ul,
+                acc[9] + w * rb[:, None] * st.uwl,
+            )
+            return st, acc
+
+        acc0 = (
+            jnp.zeros_like(state.core.u1), jnp.zeros_like(state.core.u2),
+            jnp.zeros_like(state.core.ua), jnp.zeros_like(state.core.ub),
+            jnp.zeros_like(state.core.uc), jnp.zeros_like(state.u5),
+            jnp.zeros_like(state.ux), jnp.zeros_like(state.ur),
+            jnp.zeros_like(state.ul), jnp.zeros_like(state.uwl),
+        )
+        state, acc = jax.lax.fori_loop(0, ni, body_acc, (state, acc0))
+
+        c0 = state.core
+        Msep = jnp.einsum("bik,bjk->bij", c0.U, c0.U) - c0.Y
+        Msep = 0.5 * (Msep + jnp.swapaxes(Msep, -1, -2))
+        sep_w, sep_V = jnp.linalg.eigh(Msep)
+        inv = (1.0 / navg).astype(dtype)
+        out = {
+            "X": sX * c0.X, "Xt": sX * state.Xt, "Y": c0.Y,
+            "Th": sT * c0.Th, "U": c0.U, "W": (sX * sX) * state.W,
+            "y1": inv * acc[0], "y2": inv * acc[1],
+            "ya": inv * acc[2], "yb": inv * acc[3], "yc": inv * acc[4],
+            "y5": inv * acc[5], "yx": inv * acc[6], "yr": inv * acc[7],
+            "yl": inv * acc[8], "ywl": inv * acc[9],
+            "sep_w": sep_w[..., :2], "sep_V": sep_V[..., :, :2],
+        }
+        return state, out
+
+    return jax.jit(solve) if jit else solve
+
+
+# ---------------------------------------------------------------------------
+# Host-side certified bound (float64)
+# ---------------------------------------------------------------------------
+
+
+def _np_psd(M):
+    M = 0.5 * (M + np.swapaxes(M, -1, -2))
+    w, V = np.linalg.eigh(M)
+    return np.einsum("...ik,...k,...jk->...ij", V, np.maximum(w, 0.0), V)
+
+
+def host_certified_bound_shor_k(A, mask, batch: NodeBatch,
+                                sbh: ShorKBatchHost, out: dict, gamma,
+                                k: int, ub_bar, margin_rel=1e-10):
+    """Float64 safe Lagrangian dual bound for the rank-k Shor relaxation.
+
+    Kept sets (all provably containing the node's master-feasible points
+    with objective <= ub_bar; see module docstring): |Xt| <= R_X,
+    W, Wt in [0, 2 gamma ub], |H| <= 2 gamma ub, |V*| <= 2 gamma ub,
+    Y in the spectrahedron, U in the box, Theta PSD with trace bound.
+    Multipliers are cone-projected here in float64, so the result is a
+    valid bound for ANY solver state (weak duality).
+    """
+    from omc.sdp.admm_shor import _np_project_rsoc
+
+    f = lambda a: np.asarray(a, dtype=np.float64)
+    A = f(A)
+    mask = f(mask)
+    n, m = A.shape
+    B = out["y1"].shape[0]
+    kp = (k * (k - 1)) // 2
+    T_th = 2.0 * gamma * ub_bar
+    R_X = np.sqrt(T_th)
+    Wmax = T_th
+    Vmax = T_th
+
+    S1 = _np_psd(-f(out["y1"]))
+    S2 = _np_psd(-f(out["y2"]))
+    P1_, q, R1 = S1[:, :n, :n], S1[:, :n, n:], S1[:, n:, n:]
+    P2_, D, E = S2[:, :n, :n], S2[:, :n, n:], S2[:, n:, n:]
+
+    cmask = f(batch.cut_mask)
+    alpha = np.maximum(-f(out["ya"]), 0.0) * cmask[..., None]
+    beta = np.maximum(-f(out["yb"]), 0.0) * cmask[..., None]
+    lam = np.maximum(-f(out["yc"]), 0.0) * cmask
+    cut_x = f(batch.cut_x)
+    lo, hi = f(batch.cut_lo), f(batch.cut_hi)
+    c = lo + hi
+    bconst = np.sum(-lo * hi, axis=-1)
+
+    m5m = f(sbh.minor_mask)
+    cdm = f(sbh.coord_mask)
+    socm = f(sbh.soc_mask)
+    S5 = _np_psd(-f(out["y5"])) * m5m[..., None, None, None]  # (B,M5,k,5,5)
+    Sx = _np_psd(-f(out["yx"])) * cdm[..., None, None]  # (B,C,k+1,k+1)
+    dr = -f(out["yr"])
+    a_r, b_r, c_r = _np_project_rsoc(dr[..., 0], dr[..., 1], dr[..., 2:])
+    c_r = c_r[..., 0]
+    a_r, b_r, c_r = a_r * socm, b_r * socm, c_r * socm
+    yl = f(out["yl"])  # free (Theta-link)
+    ywl = f(out["ywl"]) * cdm  # free (W-link)
+
+    # ---- Y / U / cut terms ----
+    G_Y = -(P1_ + P2_) + np.einsum("bl,bln,blp->bnp", lam, cut_x, cut_x)
+    G_Y = 0.5 * (G_Y + np.swapaxes(G_Y, -1, -2))
+    y_term = np.sum(np.minimum(np.linalg.eigh(G_Y)[0][..., :k], 0.0), axis=-1)
+
+    W_U = -2.0 * D - np.einsum(
+        "bln,blk->bnk", cut_x, alpha - beta + lam[..., None] * c
+    )
+    u_term = np.sum(
+        np.minimum(W_U * f(batch.U_lo), W_U * f(batch.U_hi)), axis=(-2, -1)
+    )
+    cut_const = (
+        np.sum(alpha * lo, axis=(-2, -1))
+        - np.sum(beta * hi, axis=(-2, -1))
+        - np.sum(lam * bconst, axis=-1)
+    )
+
+    # ---- Theta: (1/2g) I - R1 + yl on the diagonal ----
+    G_Th = (0.5 / gamma) * np.eye(m)[None] - R1 + yl[:, None, :] * np.eye(m)[None]
+    G_Th = 0.5 * (G_Th + np.swapaxes(G_Th, -1, -2))
+    th_term = T_th * np.minimum(np.linalg.eigh(G_Th)[0][..., 0], 0.0)
+
+    # ---- coefficient assembly (Lagrangian adds <y, slot> per slot) ----
+    bidx = np.arange(B)[:, None]
+    corner_flat = np.take_along_axis(
+        sbh.coord_flat, sbh.mc.reshape(B, -1), axis=1
+    ).reshape(B, -1, 4)  # (B, M5, 4)
+
+    # Xt coefficients (B, k, n*m)
+    coef_Xt = np.broadcast_to(
+        (-mask * A)[None, None], (B, k, n, m)
+    ).reshape(B, k, -1).copy()
+    coef_Xt -= 2.0 * np.broadcast_to(q[:, None], (B, k, n, m)).reshape(B, k, -1)
+    S5k = np.moveaxis(S5, 2, 1)  # (B, k, M5, 5, 5)
+    for corner in range(4):
+        np.add.at(
+            coef_Xt,
+            (bidx[:, :, None] * 0 + bidx[:, :, None],
+             np.arange(k)[None, :, None],
+             np.broadcast_to(corner_flat[:, None, :, corner],
+                             (B, k, corner_flat.shape[1]))),
+            -2.0 * S5k[..., 0, corner + 1],
+        )
+    # XWH X coefficients
+    np.add.at(
+        coef_Xt,
+        (bidx[:, :, None] * 0 + bidx[:, :, None],
+         np.arange(k)[None, :, None],
+         np.broadcast_to(sbh.coord_flat[:, None, :],
+                         (B, k, sbh.coord_flat.shape[1]))),
+        -2.0 * np.moveaxis(Sx[..., 0, 1:], 2, 1),
+    )
+    # RSOC X coefficients (sum over t -> each term)
+    np.add.at(
+        coef_Xt,
+        (bidx[:, :, None] * 0 + bidx[:, :, None],
+         np.arange(k)[None, :, None],
+         np.broadcast_to(sbh.soc_flat[:, None, :],
+                         (B, k, sbh.soc_flat.shape[1]))),
+        np.broadcast_to((-c_r)[:, None, :], (B, k, c_r.shape[1])),
+    )
+
+    # W coefficients (B, n*m)
+    coef_W = np.broadcast_to((0.5 * mask)[None], (B, n, m)).copy()
+    coef_W = (coef_W - yl[:, None, :]).reshape(B, -1)
+    np.add.at(coef_W, (bidx, sbh.soc_flat), -b_r)
+    np.add.at(coef_W, (bidx, sbh.coord_flat), ywl)
+
+    # Wt coefficients (B, k, C)
+    C = sbh.coord_mask.shape[1]
+    coef_Wt = np.zeros((B, k, C))
+    for corner in range(4):
+        np.add.at(
+            coef_Wt,
+            (bidx[:, :, None] * 0 + bidx[:, :, None],
+             np.arange(k)[None, :, None],
+             np.broadcast_to(sbh.mc[:, None, :, corner],
+                             (B, k, sbh.mc.shape[1]))),
+            -S5k[..., corner + 1, corner + 1],
+        )
+    tt = np.arange(k)
+    coef_Wt -= np.moveaxis(Sx[..., tt + 1, tt + 1], 2, 1)
+    coef_Wt -= ywl[:, None, :]
+
+    # H coefficients (B, kp, C)
+    coef_H = np.zeros((B, kp, C))
+    if kp:
+        t1s, t2s = _pair_indices(k)
+        t1a = np.asarray(t1s)
+        t2a = np.asarray(t2s)
+        coef_H -= np.moveaxis(
+            Sx[..., t1a + 1, t2a + 1] + Sx[..., t2a + 1, t1a + 1], 2, 1
+        )
+        coef_H -= 2.0 * ywl[:, None, :]
+
+    # shared V coefficients (B, k, P*)
+    coef_v1 = np.zeros((B, k, sbh.cnt_v1.shape[1]))
+    coef_v2 = np.zeros((B, k, sbh.cnt_v2.shape[1]))
+    coef_v3 = np.zeros((B, k, sbh.cnt_v3.shape[1]))
+
+    def scat_v(coef, idx, val):
+        np.add.at(
+            coef,
+            (bidx[:, :, None] * 0 + bidx[:, :, None],
+             np.arange(k)[None, :, None],
+             np.broadcast_to(idx[:, None, :], (B, k, idx.shape[1]))),
+            val,
+        )
+
+    scat_v(coef_v1, sbh.iv1a, -2.0 * S5k[..., 1, 2])
+    scat_v(coef_v1, sbh.iv1b, -2.0 * S5k[..., 3, 4])
+    scat_v(coef_v2, sbh.iv2a, -2.0 * S5k[..., 1, 3])
+    scat_v(coef_v2, sbh.iv2b, -2.0 * S5k[..., 2, 4])
+    scat_v(coef_v3, sbh.iv3, -2.0 * (S5k[..., 1, 4] + S5k[..., 2, 3]))
+
+    x_term = -R_X * np.sum(np.abs(coef_Xt), axis=(-2, -1))
+    w_term = Wmax * np.sum(np.minimum(coef_W, 0.0), axis=-1)
+    wt_term = Wmax * np.sum(np.minimum(coef_Wt, 0.0), axis=(-2, -1))
+    h_term = -Wmax * np.sum(np.abs(coef_H), axis=(-2, -1))
+    v_term = -Vmax * (
+        np.sum(np.abs(coef_v1), axis=(-2, -1))
+        + np.sum(np.abs(coef_v2), axis=(-2, -1))
+        + np.sum(np.abs(coef_v3), axis=(-2, -1))
+    )
+
+    const = (
+        0.5 * np.sum(mask * A * A)
+        - np.sum(S5[..., 0, 0], axis=(-2, -1))
+        - np.sum(Sx[..., 0, 0], axis=-1)
+        - 0.5 * np.sum(a_r, axis=-1)
+        - np.trace(E, axis1=-2, axis2=-1)
+        + cut_const
+    )
+
+    lb = (y_term + u_term + th_term + x_term + w_term + wt_term + h_term
+          + v_term + const)
+    scale = (
+        1.0 + np.abs(lb) + ub_bar
+        + np.sqrt(np.sum(S1 * S1, axis=(-2, -1)))
+        + np.sqrt(np.sum(S2 * S2, axis=(-2, -1)))
+        + np.sqrt(np.sum(S5 * S5, axis=(-4, -3, -2, -1)))
+        + np.sqrt(np.sum(Sx * Sx, axis=(-3, -2, -1)))
+    )
+    return lb - margin_rel * scale

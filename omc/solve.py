@@ -42,7 +42,7 @@ from omc.branch import (
 from omc.config import SolverConfig
 from omc.problem import compute_MSE, evaluate_objective
 from omc.sdp.cuts import region_bounds
-from omc.sdp.admm import init_admm_state, make_admm_solver
+from omc.sdp.admm import init_admm_state, make_admm_solver, set_slot_rho
 from omc.sdp.admm_shor import (
     host_certified_bound_shor,
     init_shor_state,
@@ -58,6 +58,13 @@ from omc.sdp.mccormick import (
     mccormick_box_feasible,
 )
 from omc.sdp.shor_encode import pack_shor_batch
+from omc.sdp.shor_k import (
+    host_certified_bound_shor_k,
+    init_shor_k_state,
+    make_shor_k_solver,
+    pack_shor_k_batch,
+    shor_k_batch_to_device,
+)
 from omc.sdp.relax import (
     NodeBatch,
     assemble_warm_state,
@@ -214,12 +221,10 @@ def matrix_completion_branchandbound(
             f"Input matrix A must have size (n, m) with n <= m. Current size is {A.shape}."
         )
     use_mccormick = not cfg.use_disjunctive_cuts
-    if cfg.add_Shor_valid_inequalities and k != 1:
-        raise NotImplementedError(
-            "Shor valid inequalities currently support the rank-1 path "
-            "(the reference's k>1 Xt-split variant lands in a later increment)."
-        )
     use_shor = cfg.add_Shor_valid_inequalities
+    # k > 1 uses the Xt-split Shor relaxation (reference lines 1491-1551,
+    # 1781-1828) via omc.sdp.shor_k
+    use_shor_k = use_shor and k > 1
 
     mask = indices.astype(np.float64)
     rng = np.random.default_rng(cfg.seed)
@@ -543,6 +548,11 @@ def matrix_completion_branchandbound(
                 Bb, n, m, k, dtype=dtype, sX=sX, sT=sT,
                 rho=cfg.sdp_rho_mccormick, **kw
             )
+        if use_shor_k:
+            return init_shor_k_state(
+                Bb, n, m, k, L, M5, n * m, dtype=dtype, sX=sX, sT=sT,
+                rho=cfg.sdp_rho, **kw
+            )
         if use_shor:
             return init_shor_state(
                 Bb, n, m, k, L, M5, n * m, dtype=dtype, sX=sX, sT=sT,
@@ -577,9 +587,12 @@ def matrix_completion_branchandbound(
         last_solve["slots"] = {}
 
     def warm_state(nodes: List[BBNode], Bb, L, M5=None):
+        """Returns (state, fresh): ``fresh`` is False when the previous
+        super-step's device-resident state is reused verbatim (same slot
+        layout — the bound-refinement loop), True when assembled anew."""
         key = (tuple(nd.node_id for nd in nodes), Bb, L, M5)
         if last_solve["key"] == key and last_solve["state"] is not None:
-            return last_solve["state"]
+            return last_solve["state"], False
         slots = last_solve["slots"]
         if slots and any(
             nd.node_id in slots or nd.parent_id in slots for nd in nodes
@@ -591,14 +604,20 @@ def matrix_completion_branchandbound(
             for nd in nodes
         ]
         slices += [None] * (Bb - len(nodes))
-        return assemble_warm_state(_template(Bb, L, M5), slices)
+        return assemble_warm_state(_template(Bb, L, M5), slices), True
 
-    def record_solve(work: List[BBNode], fin_state, Bb, L, M5=None):
-        """Supersede the previous device state with this step's result."""
-        _flush_last_solve(skip_ids={nd.node_id for nd in work})
-        last_solve["key"] = (tuple(nd.node_id for nd in work), Bb, L, M5)
+    def record_solve(slot_nodes: List[BBNode], fin_state, Bb, L, M5=None,
+                     best_slot=None):
+        """Supersede the previous device state with this step's result.
+        ``best_slot`` (node_id -> slot index) overrides the default
+        one-slot-per-node layout when the rho portfolio replicated nodes."""
+        _flush_last_solve(skip_ids={nd.node_id for nd in slot_nodes})
+        last_solve["key"] = (tuple(nd.node_id for nd in slot_nodes), Bb, L, M5)
         last_solve["state"] = fin_state
-        last_solve["slots"] = {nd.node_id: i for i, nd in enumerate(work)}
+        last_solve["slots"] = (
+            dict(best_slot) if best_slot is not None
+            else {nd.node_id: i for i, nd in enumerate(slot_nodes)}
+        )
         last_solve["host"] = None
 
     _M5_BUCKETS = (64, 256, 1024, 4096)
@@ -612,10 +631,16 @@ def matrix_completion_branchandbound(
     def get_shor_solver(L, M5):
         key = ("shor", L, M5)
         if key not in solvers:
-            solvers[key] = make_shor_solver(
-                n, m, L, M5, n * m, gamma, iters=cfg.sdp_iters, dtype=dtype,
-                sX=sX, sT=sT,
-            )
+            if use_shor_k:
+                solvers[key] = make_shor_k_solver(
+                    n, m, k, L, M5, n * m, gamma, iters=cfg.sdp_iters,
+                    dtype=dtype, sX=sX, sT=sT,
+                )
+            else:
+                solvers[key] = make_shor_solver(
+                    n, m, L, M5, n * m, gamma, iters=cfg.sdp_iters, dtype=dtype,
+                    sX=sX, sT=sT,
+                )
         return solvers[key]
 
     # ------------------------------------------------------------------
@@ -660,8 +685,33 @@ def matrix_completion_branchandbound(
 
         L_need = max(1, max(len(nd.cuts) for nd in work)) if not use_mccormick else 1
         L = _l_bucket(L_need)
-        Bb = B if mesh is not None else _b_bucket(len(work), B)
-        batch = _pack_batch(work, Bb, L, n, k, cfg.disjunctive_cuts_type, np_dtype)
+        # rho portfolio (ADMM disjunctive path, single device): replicate
+        # live nodes into otherwise-padded slots at different penalties;
+        # every replica bound is valid, the per-node max is taken, and the
+        # winning replica's state carries forward (see SolverConfig)
+        use_portfolio = (
+            not use_mccormick and not use_shor and cfg.sdp_method == "admm"
+            and mesh is None and len(cfg.rho_portfolio) > 0
+        )
+        P = 1 + len(cfg.rho_portfolio)
+        if mesh is not None:
+            Bb = B
+        elif use_portfolio:
+            Bb = _b_bucket(min(len(work) * P, B), B)
+        else:
+            Bb = _b_bucket(len(work), B)
+        if use_portfolio and Bb > len(work):
+            slot_nodes = [work[s % len(work)] for s in range(Bb)]
+            rho_mults = np.ones(Bb, dtype=np_dtype)
+            for s in range(len(work), Bb):
+                rho_mults[s] = cfg.rho_portfolio[
+                    (s // len(work) - 1) % len(cfg.rho_portfolio)
+                ]
+        else:
+            use_portfolio = False
+            slot_nodes = work
+            rho_mults = None
+        batch = _pack_batch(slot_nodes, Bb, L, n, k, cfg.disjunctive_cuts_type, np_dtype)
         ub_bar = tree.best_upper_bound * (1.0 + 1e-9) + 1e-9
 
         # padded slots cost the same device time as live ones — when the
@@ -686,7 +736,7 @@ def matrix_completion_branchandbound(
         M5 = None
         if use_mccormick:
             mc_batch = _put(MCBatch(U_lo=batch.U_lo, U_hi=batch.U_hi))
-            state0 = _put(warm_state(work, Bb, L))
+            state0 = _put(warm_state(work, Bb, L)[0])
             fin_state, out = get_mc_solver()(
                 A_dev, mask_dev, mc_batch, ub_bar, state0, visit_iters
             )
@@ -700,7 +750,9 @@ def matrix_completion_branchandbound(
             M5 = _m5_bucket(
                 max(1, max(len(nd.Shor_info.constraints_indexes) for nd in work))
             )
-            sbh = pack_shor_batch(
+            pack_fn = pack_shor_k_batch if use_shor_k else pack_shor_batch
+            to_dev = shor_k_batch_to_device if use_shor_k else shor_batch_to_device
+            sbh = pack_fn(
                 n, m,
                 [nd.Shor_info.constraints_indexes for nd in work]
                 + [[]] * (Bb - len(work)),
@@ -708,16 +760,26 @@ def matrix_completion_branchandbound(
                 + [[]] * (Bb - len(work)),
                 M5, n * m,
             )
-            sb_dev = shor_batch_to_device(sbh, dtype)
-            state0 = warm_state(work, Bb, L, M5)
+            sb_dev = to_dev(sbh, dtype)
+            state0 = warm_state(work, Bb, L, M5)[0]
             fin_state, out = get_shor_solver(L, M5)(
                 A_dev, mask_dev, batch, sb_dev, ub_bar, state0
             )
             out = {key: np.asarray(val) for key, val in out.items()}
             t_dev_end = time.time()
-            lbs = host_certified_bound_shor(A, mask, batch, sbh, out, gamma, ub_bar)
+            if use_shor_k:
+                lbs = host_certified_bound_shor_k(
+                    A, mask, batch, sbh, out, gamma, k, ub_bar
+                )
+            else:
+                lbs = host_certified_bound_shor(A, mask, batch, sbh, out, gamma, ub_bar)
         else:
-            state0 = _put(warm_state(work, Bb, L))
+            state0, fresh = warm_state(slot_nodes, Bb, L)
+            if use_portfolio and fresh:
+                state0 = set_slot_rho(state0, state0.rho * jnp.asarray(
+                    rho_mults, state0.rho.dtype
+                ))
+            state0 = _put(state0)
             args = (A_dev, mask_dev, _put(batch), ub_bar, state0)
             if cfg.sdp_method == "admm":
                 args = args + (visit_iters,)
@@ -725,7 +787,24 @@ def matrix_completion_branchandbound(
             out = {key: np.asarray(val) for key, val in out.items()}
             t_dev_end = time.time()
             lbs = host_certified_bound(A, mask, batch, out, gamma, k, ub_bar)
-        record_solve(work, fin_state, Bb, L, M5)
+
+        # portfolio reduction: per node, the max certified bound over its
+        # replica slots (each is valid); the winning slot's outputs and
+        # solver state represent the node from here on
+        best_slot = None
+        sel_of = list(range(len(work)))
+        if use_portfolio:
+            nw = len(work)
+            lbs_nodes = np.empty(nw)
+            best_slot = {}
+            for i in range(nw):
+                slots_i = np.arange(i, Bb, nw)
+                j = int(slots_i[np.argmax(lbs[slots_i])])
+                lbs_nodes[i] = lbs[j]
+                sel_of[i] = j
+                best_slot[work[i].node_id] = j
+            lbs = lbs_nodes
+        record_solve(slot_nodes, fin_state, Bb, L, M5, best_slot=best_slot)
         t_relax = time.time() - t0
         solve_time_relaxation += t_relax
         solve_time_device += t_dev_end - t0
@@ -768,18 +847,19 @@ def matrix_completion_branchandbound(
                 census["nodes_relax_feasible_pruned"] += 1
                 continue
 
+            sel = sel_of[i]
             if use_mccormick:
                 master_feasible = master_feasible_mccormick(
-                    out["Y"][i], out["U"][i], out["X"][i], out["Th"][i]
+                    out["Y"][sel], out["U"][sel], out["X"][sel], out["Th"][sel]
                 )
             else:
-                master_feasible = bool(out["sep_w"][i, 0] >= -1e-6)
+                master_feasible = bool(out["sep_w"][sel, 0] >= -1e-6)
             if master_feasible:
                 if not node.master_feasible:  # once per node across visits
                     census["nodes_master_feasible"] += 1
                 node.master_feasible = True
                 t_pol = time.time()
-                obj_r, X_r, U_r = _round_to_incumbent(out["Y"][i], A, mask, gamma, k)
+                obj_r, X_r, U_r = _round_to_incumbent(out["Y"][sel], A, mask, gamma, k)
                 obj_p, X_p, U_p = _polish_incumbent(X_r, A, mask, gamma, k, iters=8)
                 solve_time_polish += time.time() - t_pol
                 if obj_p < obj_r:
@@ -837,7 +917,7 @@ def matrix_completion_branchandbound(
             t0 = time.time()
             U_init_m = np.zeros((len(altmin_marked), n, k), dtype=np.float64)
             for j, i in enumerate(altmin_marked):
-                Yi = out["Y"][i].astype(np.float64)
+                Yi = out["Y"][sel_of[i]].astype(np.float64)
                 w, V = np.linalg.eigh(0.5 * (Yi + Yi.T))
                 U_init_m[j] = V[:, ::-1][:, :k]
             if use_mccormick or all(not work[i].cuts for i in altmin_marked):
@@ -918,8 +998,11 @@ def matrix_completion_branchandbound(
                         cfg.update_Shor_indices_probability_decay_rate,
                     )
                     if rng.random() < p_shor:
+                        # the reference scores per term t over the Xt split
+                        # for k > 1 (reference line 2621)
+                        X_score = out["Xt"] if "Xt" in out else out["X"]
                         scored = shor_mod.generate_violated_Shor_minors(
-                            out["X"][i].astype(np.float64), indices,
+                            X_score[sel_of[i]].astype(np.float64), indices,
                             list(cfg.Shor_valid_inequalities_noisy_rank1_num_entries_present),
                             node.Shor_info.constraints_indexes,
                             cfg.update_Shor_indices_n_minors,
@@ -939,9 +1022,9 @@ def matrix_completion_branchandbound(
                     node,
                     cfg.disjunctive_cuts_type,
                     cfg.disjunctive_cuts_breakpoints,
-                    sep_w=out["sep_w"][i],
-                    sep_V=out["sep_V"][i],
-                    U_relax=out["U"][i],
+                    sep_w=out["sep_w"][sel_of[i]],
+                    sep_V=out["sep_V"][sel_of[i]],
+                    U_relax=out["U"][sel_of[i]],
                     counter=tree.counter,
                     objective_relax=node.LB,
                     new_Shor_info=new_shor,

@@ -1,0 +1,184 @@
+"""Rank-k (k > 1) Shor valid-inequality relaxation tests.
+
+Reference formulation: `/root/reference/src/OptimalMatrixCompletion.jl`
+lines 1491-1551 (Xt/Wt/H/V variables), 1781-1828 (per-t 5x5 minors + XWH
+PSD blocks), 1837-1846 (W-form objective).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from omc.data import generate_matrix_completion_data
+from omc.sdp.relax import NodeBatch
+from omc.sdp.shor import (
+    generate_rank1_matrix_completion_Shor_constraints_indexes,
+    shor_soc_complement,
+)
+from omc.sdp.shor_k import (
+    _adjoint_shor_k,
+    _forward_shor_k,
+    host_certified_bound_shor_k,
+    init_shor_k_state,
+    make_shor_k_solver,
+    pack_shor_k_batch,
+    shor_k_batch_to_device,
+)
+from omc.tree import BBNode, ShorInfo, root_box
+
+
+def _small_instance(k=2, n=8, m=8, seed=2):
+    A, idx = generate_matrix_completion_data(k, n, m, int(0.7 * n * m), seed)
+    return A, idx
+
+
+def _some_minors(idx, cap=6):
+    minors = generate_rank1_matrix_completion_Shor_constraints_indexes(idx, [4])
+    return minors[:cap]
+
+
+def test_pack_shor_k_batch_tables():
+    A, idx = _small_instance()
+    n, m = A.shape
+    minors = _some_minors(idx, cap=4)
+    soc = shor_soc_complement(n, m, minors)
+    sbh = pack_shor_k_batch(n, m, [minors], [soc], M5=4, Msoc=n * m)
+    assert sbh.minor_mask[0].sum() == len(minors)
+    # every corner's coordinate index maps back to the right flat entry
+    for l, (i1, i2, j1, j2) in enumerate(minors):
+        corners = [(i1, j1), (i1, j2), (i2, j1), (i2, j2)]
+        for ci, (i, j) in enumerate(corners):
+            cc = sbh.mc[0, l, ci]
+            assert sbh.coord_flat[0, cc] == i * m + j
+            assert sbh.coord_j[0, cc] == j
+            assert sbh.coord_mask[0, cc] == 1.0
+    # SOC complement excludes minor coordinates
+    coords = {(i, j) for (i1, i2, j1, j2) in minors
+              for (i, j) in [(i1, j1), (i1, j2), (i2, j1), (i2, j2)]}
+    soc_set = {tuple(divmod(int(f), m)) for f, msk in
+               zip(sbh.soc_flat[0], sbh.soc_mask[0]) if msk > 0}
+    assert soc_set.isdisjoint(coords)
+    # counts: cnt_minor sums to 4 * n_minors
+    assert sbh.cnt_minor[0].sum() == 4 * len(minors)
+
+
+def test_forward_adjoint_consistency():
+    """<y, F z> == <F' y, z> for the hand-written Shor-k slot operator."""
+    rng = np.random.default_rng(0)
+    k, n, m = 3, 8, 8
+    A, idx = _small_instance(k=2, n=n, m=m)
+    minors = _some_minors(idx, cap=5)
+    soc = shor_soc_complement(n, m, minors)
+    M5 = 8
+    sbh = pack_shor_k_batch(n, m, [minors], [soc], M5=M5, Msoc=n * m)
+    sb = shor_k_batch_to_device(sbh, jnp.float64)
+    B, C = 1, 4 * M5
+    kp = k * (k - 1) // 2
+    P1 = P2 = 2 * M5
+    P3 = M5
+    sX, sW = 1.7, 1.7 * 1.7
+
+    r = lambda *s: jnp.asarray(rng.standard_normal(s))
+    Xt, W = r(B, k, n, m), r(B, n, m)
+    Wt, Hh = r(B, k, C), r(B, kp, C)
+    v1, v2, v3 = r(B, k, P1), r(B, k, P2), r(B, k, P3)
+    Th = r(B, m, m)
+
+    z5 = (jnp.zeros((B, k, n, m)), jnp.zeros((B, n, m)),
+          jnp.zeros((B, k, C)), jnp.zeros((B, kp, C)),
+          jnp.zeros((B, k, P1)), jnp.zeros((B, k, P2)), jnp.zeros((B, k, P3)))
+    offs5, offsx, offsr, _, _ = _forward_shor_k(sb, *z5, k, m, sX, sW)
+    f5, fx, fr, fcol, fwl = _forward_shor_k(sb, Xt, W, Wt, Hh, v1, v2, v3,
+                                            k, m, sX, sW)
+    sT = 2.3
+    f_link = sT * jnp.diagonal(Th, axis1=-2, axis2=-1) - fcol
+
+    def sym(M):
+        return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+    # PSD-slot duals are symmetric in the solver (slot values and their
+    # projections are symmetric matrices); the adjoint exploits that
+    y5 = sym(r(B, M5, k, 5, 5)) * jnp.asarray(sbh.minor_mask)[..., None, None, None]
+    yx = sym(r(B, C, k + 1, k + 1)) * jnp.asarray(sbh.coord_mask)[..., None, None]
+    yr = r(B, n * m, 3) * jnp.asarray(sbh.soc_mask)[..., None]
+    yl = r(B, m)
+    ywl = r(B, C) * jnp.asarray(sbh.coord_mask)
+
+    lhs = (
+        jnp.sum(y5 * (f5 - offs5)) + jnp.sum(yx * (fx - offsx))
+        + jnp.sum(yr * (fr - offsr)) + jnp.sum(yl * f_link)
+        + jnp.sum(ywl * fwl)
+    )
+    gXt, gW, gWt, gH, gv1, gv2, gv3 = _adjoint_shor_k(
+        sb, y5, yx, yr, yl, ywl, B, n, m, k, kp, sX, sW
+    )
+    rhs = (
+        jnp.sum(gXt * Xt) + jnp.sum(gW * W) + jnp.sum(gWt * Wt)
+        + jnp.sum(gH * Hh) + jnp.sum(gv1 * v1) + jnp.sum(gv2 * v2)
+        + jnp.sum(gv3 * v3)
+        + jnp.sum(yl * sT * jnp.diagonal(Th, axis1=-2, axis2=-1))
+    )
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-10)
+
+
+def test_shor_k2_certified_bound_weak_duality():
+    """k = 2: the certified Shor-k bound under-estimates a polished exact
+    upper bound (weak duality at ANY solver accuracy)."""
+    import omc
+    from omc.solve import _polish_incumbent
+
+    A, idx = _small_instance(k=2)
+    n, m = A.shape
+    k, gamma = 2, 20.0
+    mask = idx.astype(np.float64)
+    minors = _some_minors(idx, cap=6)
+    soc = shor_soc_complement(n, m, minors)
+    lo, hi = root_box(n, k)
+    node = BBNode(
+        node_id=1, parent_id=0, U_lower=lo, U_upper=hi, LB=-np.inf,
+        depth=0, cuts=[],
+        Shor_info=ShorInfo(constraints_indexes=minors,
+                           SOC_constraints_indexes=soc),
+    )
+    res = omc.matrix_completion_SDP_relaxation(
+        node, n, k, A, idx, gamma, disjunctive_cuts_type="linear",
+        add_Shor_valid_inequalities=True, iters=1200,
+    )
+    assert np.isfinite(res["lower_bound"])
+    assert "W" in res
+    U0 = np.linalg.svd(A * mask, full_matrices=False)[0][:, :k]
+    am = omc.alternating_minimization(A, n, k, idx, gamma, U_initial=U0)
+    ub, _, _ = _polish_incumbent(am["U"] @ am["V"], A, mask, gamma, k)
+    assert res["lower_bound"] <= ub + 1e-8
+    # the bound should be non-trivial (way above -inf scale garbage)
+    assert res["lower_bound"] > -10.0 * ub - 10.0
+
+
+@pytest.mark.slow
+def test_bnb_k2_shor_e2e():
+    """End-to-end k = 2 with Shor valid inequalities (iterative growth)."""
+    from omc.solve import matrix_completion_branchandbound
+
+    A, idx = _small_instance(k=2, n=8, m=8, seed=4)
+    sol, _, inst = matrix_completion_branchandbound(
+        2, A, idx, 20.0,
+        node_selection="bestfirst",
+        disjunctive_cuts_type="linear",
+        disjunctive_cuts_breakpoints="smallest_1_eigvec",
+        add_Shor_valid_inequalities=True,
+        add_Shor_valid_inequalities_iterative=True,
+        update_Shor_indices_n_minors=8,
+        gap=5e-2,
+        batch_size=4,
+        sdp_iters=800,
+        dtype="float64",
+        time_limit=240,
+        verbosity=0,
+    )
+    rd = inst["run_details"]
+    assert rd["nodes_explored"] >= 1
+    assert sol["objective"] <= sol["objective_initial"] + 1e-12
+    assert np.linalg.matrix_rank(sol["X"], tol=1e-6) <= 2
+    lowers = [r["lower"] for r in inst["run_log"] if np.isfinite(r["lower"])]
+    assert all(b >= a - 1e-9 for a, b in zip(lowers, lowers[1:]))
