@@ -1,0 +1,60 @@
+"""Worker for the config-5 scaling benchmark (CPU multi-process).
+
+Usage: python dist_scaling_worker.py <coordinator> <pid> <nproc>
+
+Runs the branch-and-bound driver (distributed when nproc > 1) on a fixed
+instance sized to produce a real node frontier, and prints nodes/sec.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    coord, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=coord, num_processes=nproc, process_id=pid
+        )
+    from omc.data import generate_matrix_completion_data
+    from omc.solve import matrix_completion_branchandbound
+
+    A, idx = generate_matrix_completion_data(1, 14, 14, 100, seed=7)
+    t0 = time.time()
+    sol, _, inst = matrix_completion_branchandbound(
+        1, A, idx, 160.0,
+        node_selection="bestfirst",
+        disjunctive_cuts_type="linear",
+        disjunctive_cuts_breakpoints="smallest_1_eigvec",
+        gap=1e-4, batch_size=4, sdp_iters=700, dtype="float64",
+        time_limit=300, verbosity=0,
+        distributed=(nproc > 1), dist_rebalance_every=2,
+    )
+    elapsed = time.time() - t0
+    rd = inst["run_details"]
+    explored_global = (
+        rd["census_global"]["nodes_explored"] if nproc > 1
+        else rd["nodes_explored"]
+    )
+    print("RESULT " + json.dumps({
+        "pid": pid,
+        "objective": sol["objective"],
+        "gap": inst["run_log"][-1]["gap"],
+        "elapsed": elapsed,
+        "nodes_per_sec": explored_global / max(elapsed, 1e-9),
+        "nodes_per_sec_local": rd["nodes_explored"] / max(elapsed, 1e-9),
+        "nodes_explored_local": rd["nodes_explored"],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

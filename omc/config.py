@@ -81,11 +81,28 @@ class SolverConfig:
     # budget by up to this factor (padded slots cost the same device time
     # whether or not they carry live nodes, so concentrate it)
     sdp_iter_boost_max: int = 8
+    # on-device certification cadence: inside the jitted ADMM loop the
+    # safe dual bound is evaluated every this many iterations and the loop
+    # exits as soon as every live node's bound target is cleared
+    sdp_check_every: int = 2000
+    # at batch buckets above this size, host float64 certification runs
+    # only on the binding slots (prune/close candidates + the lowest
+    # bounds, which drive the global LB); the rest keep the on-device
+    # margin-guarded safe bound (BASELINE config 4 scale: certifying
+    # thousands of 250x250 nodes in host float64 would dominate the step)
+    host_certify_max_batch: int = 64
     altmin_max_iters: int = 100  # matches reference altmin max_iters (line 2000)
     altmin_tol: float = 1e-5  # matches reference eps (line 1998)
     dtype: str = "float32"  # device compute dtype ("float32" | "float64")
     seed: int = 0  # matches reference Random.seed!(0) at line 333
     mesh_shape: Optional[Tuple[int, ...]] = None  # None => single device
+    # multi-host frontier distribution (omc/parallel/dist.py): every host
+    # process runs this driver over its own frontier shard with per-round
+    # bound sync + periodic node rebalancing.  Requires the jax distributed
+    # runtime to be initialised (jax.distributed.initialize / the
+    # init_distributed helper).
+    distributed: bool = False
+    dist_rebalance_every: int = 4  # rounds between rebalancing exchanges
     # checkpoint / resume (absent in the reference; SURVEY.md section 5)
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 60  # seconds between checkpoint writes

@@ -1,0 +1,278 @@
+"""Multi-host frontier distribution (BASELINE config 5; SURVEY section 7
+layer 7).
+
+The reference is strictly single-process (SURVEY section 2: Mosek pinned to
+one thread, a serial node loop).  The TPU-native multi-host design: every
+host process runs the SAME batched branch-and-bound driver over its own
+frontier shard, and hosts synchronise once per super-step round:
+
+- **bound sync** — each round, hosts all-gather a small scalar vector
+  (incumbent value, frontier lower-bound candidate, node count, stop flag,
+  max cut count); the global incumbent is the min over hosts (pruning with
+  a stale-but-valid incumbent is sound, so sync latency never threatens
+  correctness), and the global lower bound is the monotone max of the min
+  over hosts of frontier candidates;
+- **node rebalancing** — every ``rebalance_every`` rounds, hosts with more
+  than their share of the global frontier serialise surplus nodes into
+  fixed-shape float vectors (a node IS array data: box, cut tensors,
+  scalars) and all-gather them; every host deterministically re-deals the
+  pooled nodes round-robin in lower-bound order, so each host's best-first
+  queue stays stocked with good nodes;
+- **final gather** — the host owning the best incumbent contributes the
+  solution arrays.
+
+Collectives use ``jax.experimental.multihost_utils.process_allgather``
+over the jax distributed runtime (``jax.distributed.initialize``): ICI/DCN
+on real multi-host TPU slices, TCP on the multi-process CPU simulation the
+tests use (SURVEY section 4).
+
+Node identity is host-local: a migrated node gets a fresh local id and
+restarts its relaxation from the incumbent template (the parent warm-start
+state lives on the origin host); its monotone LB, refinement count, and cut
+list travel with it, so bound validity is unaffected.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from omc.tree import BBNode, BBTree, DisjunctiveCut
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialise the jax distributed runtime (idempotent).
+
+    On TPU pods the three arguments are auto-detected; the multi-process
+    CPU simulation passes them explicitly."""
+    import jax
+
+    if jax.process_count() > 1:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Node wire format: one node = one float64 vector
+# ---------------------------------------------------------------------------
+
+_HDR = 7  # prio_lb, LB, lb_solver, depth, master_feasible, refines, n_cuts
+
+
+def node_wire_size(n: int, k: int, Lmax: int) -> int:
+    return _HDR + 2 * n * k + Lmax * (n + 2 * k)
+
+
+def serialize_node(node: BBNode, prio_lb: float, n: int, k: int,
+                   Lmax: int) -> np.ndarray:
+    cuts = node.cuts or []
+    if len(cuts) > Lmax:
+        raise ValueError(f"node has {len(cuts)} cuts > wire capacity {Lmax}")
+    vec = np.zeros(node_wire_size(n, k, Lmax))
+    vec[0] = prio_lb
+    vec[1] = node.LB
+    vec[2] = node.lb_solver
+    vec[3] = node.depth
+    vec[4] = 1.0 if node.master_feasible else 0.0
+    vec[5] = node.refines
+    vec[6] = len(cuts)
+    o = _HDR
+    vec[o : o + n * k] = np.asarray(node.U_lower).ravel()
+    o += n * k
+    vec[o : o + n * k] = np.asarray(node.U_upper).ravel()
+    o += n * k
+    for cut in cuts:
+        vec[o : o + n] = cut.x
+        o += n
+        vec[o : o + k] = cut.vhat
+        o += k
+        vec[o : o + k] = cut.code
+        o += k
+    return vec
+
+
+def deserialize_node(vec: np.ndarray, n: int, k: int, Lmax: int,
+                     node_id: int) -> Tuple[float, BBNode]:
+    prio_lb = float(vec[0])
+    n_cuts = int(round(vec[6]))
+    o = _HDR
+    U_lower = vec[o : o + n * k].reshape(n, k).copy()
+    o += n * k
+    U_upper = vec[o : o + n * k].reshape(n, k).copy()
+    o += n * k
+    cuts = []
+    for _ in range(n_cuts):
+        x = vec[o : o + n].copy()
+        o += n
+        vhat = vec[o : o + k].copy()
+        o += k
+        code = np.asarray(np.round(vec[o : o + k]), dtype=np.int32)
+        o += k
+        cuts.append(DisjunctiveCut(x=x, vhat=vhat, code=code))
+    node = BBNode(
+        node_id=node_id, parent_id=0, U_lower=U_lower, U_upper=U_upper,
+        LB=float(vec[1]), depth=int(round(vec[3])),
+        master_feasible=bool(vec[4] > 0.5), cuts=cuts,
+        refines=int(round(vec[5])), lb_solver=float(vec[2]),
+    )
+    return prio_lb, node
+
+
+def _extract_surplus(tree: BBTree, n_keep: int) -> List[Tuple[float, BBNode]]:
+    """Remove every queued node beyond the best ``n_keep`` (by queued LB);
+    returns (priority_lb, node) pairs."""
+    items = sorted(tree._heap_lb.items(), key=lambda kv: (kv[1], kv[0]))
+    out = []
+    for nid, lb in items[n_keep:]:
+        node = tree.nodes.pop(nid, None)
+        if node is not None:
+            tree._heap_lb.pop(nid, None)
+            out.append((lb, node))
+    return out
+
+
+def _insert_migrated(tree: BBTree, pairs: List[Tuple[float, BBNode]]) -> None:
+    import heapq
+
+    for prio, node in pairs:
+        tree.nodes[node.node_id] = node
+        tree._fifo.append(node.node_id)
+        tree._heap_lb[node.node_id] = prio
+        heapq.heappush(tree._heap, (prio, node.node_id))
+
+
+# ---------------------------------------------------------------------------
+# Per-round synchronisation
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RoundState:
+    global_ub: float
+    global_lb: float
+    total_nodes: int
+    stop: bool
+    counts: np.ndarray  # (P,) per-host node counts
+    Lmax: int
+
+
+class DistContext:
+    """Host-side distributed coordination (see module docstring)."""
+
+    def __init__(self, rebalance_every: int = 4):
+        import jax
+
+        self._jax = jax
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self.rebalance_every = max(1, rebalance_every)
+        self.round = 0
+        self._global_lb = -np.inf
+
+    # -- collectives -----------------------------------------------------
+    def _allgather(self, vec: np.ndarray) -> np.ndarray:
+        from jax.experimental import multihost_utils
+
+        out = multihost_utils.process_allgather(np.asarray(vec))
+        return np.asarray(out)
+
+    def sync_round(self, best_ub: float, lb_candidate: float, n_nodes: int,
+                   want_stop: bool, max_cuts: int) -> RoundState:
+        """All-gather per-host scalars; returns the fused global view.
+        ``lb_candidate`` is min(queued LBs, closed floor) — +inf when the
+        host's frontier imposes no constraint."""
+        BIG = 1e300
+        vec = np.asarray([
+            best_ub, min(lb_candidate, BIG), float(n_nodes),
+            1.0 if want_stop else 0.0, float(max_cuts),
+        ])
+        g = self._allgather(vec)  # (P, 5)
+        self.round += 1
+        global_ub = float(np.min(g[:, 0]))
+        lb_min = float(np.min(g[:, 1]))
+        candidate = global_ub if lb_min >= BIG else lb_min
+        self._global_lb = max(self._global_lb, min(candidate, global_ub))
+        counts = g[:, 2].astype(int)
+        return RoundState(
+            global_ub=global_ub, global_lb=self._global_lb,
+            total_nodes=int(counts.sum()), stop=bool(np.any(g[:, 3] > 0.5)),
+            counts=counts, Lmax=int(np.max(g[:, 4])),
+        )
+
+    def should_rebalance(self, rs: RoundState) -> bool:
+        if self.round % self.rebalance_every != 0:
+            return False
+        if rs.total_nodes < self.process_count:
+            return bool(rs.counts.max() > 0 and rs.counts.min() == 0
+                        and rs.total_nodes > 0)
+        target = int(np.ceil(rs.total_nodes / self.process_count))
+        return bool(rs.counts.max() > 2 * max(1, rs.counts.min())
+                    or rs.counts.max() > target + 8)
+
+    def rebalance(self, tree: BBTree, rs: RoundState, n: int, k: int) -> int:
+        """All-gather surplus nodes and re-deal them round-robin in LB
+        order.  Every host runs this deterministically from the same
+        RoundState, so the exchange is collectively consistent.  Returns
+        the number of nodes received."""
+        P = self.process_count
+        target = int(np.ceil(rs.total_nodes / P))
+        surplus = np.maximum(rs.counts - target, 0)
+        max_offer = int(surplus.max())
+        if max_offer == 0:
+            return 0
+        Lmax = max(1, rs.Lmax)
+        D = node_wire_size(n, k, Lmax)
+        mine = _extract_surplus(tree, target)
+        payload = np.zeros((max_offer, D))
+        cnt = np.zeros((max_offer,))
+        for i, (prio, node) in enumerate(mine):
+            payload[i] = serialize_node(node, prio, n, k, Lmax)
+            cnt[i] = 1.0
+        g_pay = self._allgather(payload)  # (P, max_offer, D)
+        g_cnt = self._allgather(cnt)  # (P, max_offer)
+        pool = []
+        for p in range(P):
+            for i in range(max_offer):
+                if g_cnt[p, i] > 0.5:
+                    pool.append(g_pay[p, i])
+        # deterministic deal: sort by priority LB, deal round-robin so each
+        # host's best-first queue gets an even slice of good nodes
+        pool.sort(key=lambda v: (float(v[0]), float(v[1]), float(v[3])))
+        received = []
+        for j, vec in enumerate(pool):
+            if j % P == self.process_index:
+                tree.counter += 1
+                prio, node = deserialize_node(
+                    vec, n, k, Lmax, node_id=tree.counter
+                )
+                received.append((prio, node))
+        _insert_migrated(tree, received)
+        return len(received)
+
+    # -- final solution --------------------------------------------------
+    def gather_best_solution(self, objective: float, X: np.ndarray,
+                             U: np.ndarray):
+        """Return (objective, X, U) of the best incumbent across hosts."""
+        objs = self._allgather(np.asarray([objective]))[:, 0]
+        owner = int(np.argmin(objs))
+        gX = self._allgather(np.asarray(X))
+        gU = self._allgather(np.asarray(U))
+        return float(objs[owner]), gX[owner], gU[owner]
+
+    def sum_counters(self, counters: dict) -> dict:
+        """Element-wise sum of integer counters across hosts."""
+        keys = sorted(counters)
+        vec = np.asarray([float(counters[key]) for key in keys])
+        g = self._allgather(vec).sum(axis=0)
+        return {key: int(val) for key, val in zip(keys, g)}

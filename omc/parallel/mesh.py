@@ -94,19 +94,33 @@ def _shard_map():
         return shard_map
 
 
-def shard_solver(mesh: Mesh, solve):
+def shard_solver(mesh: Mesh, solve, extra_sharded: int = 0):
     """Wrap an *unjitted* batched node solver
-    ``solve(A, mask, batch, ub_bar, state) -> (state, out)`` so the node
-    axis of ``batch``/``state``/``out`` is sharded over the mesh's
-    ``"nodes"`` axis while problem data stays replicated.  The wrapped
-    function has the same signature as the single-device solver, so the
-    B&B driver is mesh-agnostic.  Works for the disjunctive-cuts ADMM
-    solver and the McCormick solver (every batch/state/out leaf leads with
-    the node axis)."""
+    ``solve(A, mask, batch, ub_bar, state, n_iters, ...) -> (state, out)``
+    so the node axis of ``batch``/``state``/``out`` is sharded over the
+    mesh's ``"nodes"`` axis while problem data stays replicated.  The
+    wrapped function has the same signature as the single-device solver,
+    so the B&B driver is mesh-agnostic.  ``extra_sharded`` appends that
+    many additional node-axis-sharded (B,) arguments (the ADMM solver's
+    per-slot bound ``target`` and portfolio ``group``)."""
     rep = P()
     sh = P("nodes")
     step = _shard_map()(
-        solve, mesh=mesh, in_specs=(rep, rep, sh, rep, sh, rep),
+        solve, mesh=mesh,
+        in_specs=(rep, rep, sh, rep, sh, rep) + (sh,) * extra_sharded,
+        out_specs=(sh, sh),
+    )
+    return jax.jit(step)
+
+
+def shard_solver_shor(mesh: Mesh, solve):
+    """Like ``shard_solver`` for the Shor solver family signature
+    ``solve(A, mask, batch, shor_batch, ub_bar, state, n_iters)`` — the
+    Shor constraint tables shard over the node axis alongside the batch."""
+    rep = P()
+    sh = P("nodes")
+    step = _shard_map()(
+        solve, mesh=mesh, in_specs=(rep, rep, sh, sh, rep, sh, rep),
         out_specs=(sh, sh),
     )
     return jax.jit(step)

@@ -37,7 +37,7 @@ import numpy as np
 
 from omc.ops.cones import project_psd, project_soc
 from omc.ops.polar import project_psd_ns
-from omc.sdp.relax import NodeBatch
+from omc.sdp.relax import NodeBatch, safe_dual_bound
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -247,22 +247,34 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                      iters: int = 400, dtype=jnp.float32, rho: float = 1.0,
                      alpha: float = 1.6, sX: float = 1.0, sT: float = 1.0,
                      psd_method: str = "auto", jit: bool = True,
-                     adapt_rho: bool = False):
+                     adapt_rho: bool = False, check_every: int = 2000):
     """Build the jitted batched ADMM solver with the same interface as
     ``omc.sdp.relax.make_solver`` (state type differs).
 
     ``psd_method``: "ns" (Newton-Schulz polar, matmul-only — the fast TPU
-    path), "eigh" (exact), or "auto" (ns for float32, eigh for float64)."""
+    path), "eigh" (exact), or "auto" (ns for float32, eigh for float64).
+
+    ``check_every``: on-device certification cadence — when the caller
+    passes per-slot bound targets, the safe Lagrangian dual bound is
+    evaluated on device every ``check_every`` iterations and the loop
+    exits as soon as every live node's target is cleared (no host round
+    trip, no wasted tail iterations)."""
     if psd_method == "auto":
         psd_method = "eigh" if dtype == jnp.float64 else "ns"
     proj = project_psd_ns if psd_method == "ns" else project_psd
 
     def solve(A, mask, batch: NodeBatch, ub_bar, state: ADMMState,
-              n_iters=None):
+              n_iters=None, target=None, group=None):
         """``n_iters`` (optional, traced): runtime iteration budget — the
-        fori_loop bound is dynamic, so one compiled program serves any
-        budget (the driver raises it when the frontier underfills the
-        batch, concentrating device time on the live nodes)."""
+        loop bound is dynamic, so one compiled program serves any budget
+        (the driver raises it when the frontier underfills the batch,
+        concentrating device time on the live nodes).
+
+        ``target`` (optional, (B,)): per-slot certified-bound target; the
+        loop stops early once every group's best on-device safe bound
+        clears its target (-inf slots are treated as already cleared).
+        ``group`` ((B,) int32): slot -> node grouping for the rho
+        portfolio — a node is done when ANY of its replica slots clears."""
         ni = jnp.asarray(iters if n_iters is None else n_iters, jnp.int32)
         A = A.astype(dtype)
         mask = mask.astype(dtype)
@@ -392,41 +404,81 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
 
         # Tail-averaged dual output: low-precision ADMM iterates wander
         # around the fixed point; averaging the scaled duals over the final
-        # quarter of the run yields a markedly steadier certified bound
-        # (the average of dual iterates is itself a perfectly valid input
-        # to the safe bound).
-        navg = jnp.maximum(1, ni // 4)
-
-        def body_acc(it, carry):
-            st, acc = carry
-            st = body(it, st)
-            take = (it >= ni - navg)
-            w = jnp.where(take, 1.0, 0.0).astype(st.u1.dtype)
-            rb3 = st.rho[:, None, None]
-            acc = (
-                acc[0] + w * rb3 * st.u1, acc[1] + w * rb3 * st.u2,
-                acc[2] + w * rb3 * st.ua, acc[3] + w * rb3 * st.ub,
-                acc[4] + w * st.rho[:, None] * st.uc,
-            )
-            return st, acc
+        # chunk yields a markedly steadier certified bound (the average of
+        # dual iterates is itself a perfectly valid input to the safe
+        # bound).  The run proceeds in chunks of ``check_every``
+        # iterations; when per-slot ``target`` bounds are given, the
+        # chunk-averaged duals are fed to the on-device safe bound and the
+        # loop exits once every live node group has cleared its target.
+        B = batch.cut_mask.shape[0]
+        with_target = target is not None
+        if group is None:
+            group = jnp.arange(B, dtype=jnp.int32)
 
         # derive the accumulators from state fields so they inherit any
         # manual (shard_map) axis annotations
-        acc0 = (
-            jnp.zeros_like(state.u1), jnp.zeros_like(state.u2),
-            jnp.zeros_like(state.ua), jnp.zeros_like(state.ub),
-            jnp.zeros_like(state.uc),
+        def zero_acc():
+            return (
+                jnp.zeros_like(state.u1), jnp.zeros_like(state.u2),
+                jnp.zeros_like(state.ua), jnp.zeros_like(state.ub),
+                jnp.zeros_like(state.uc),
+            )
+
+        def outer_cond(carry):
+            st, ybar, it, done = carry
+            return jnp.logical_and(it < ni, ~done)
+
+        def outer_body(carry):
+            st, ybar_lb, it, done = carry
+            chunk = jnp.minimum(check_every, ni - it)
+            navg = jnp.maximum(1, chunk // 4)
+
+            def body_acc(i, inner):
+                st_i, acc = inner
+                st_i = body(i, st_i)
+                w = jnp.where(i >= chunk - navg, 1.0, 0.0).astype(dtype)
+                rb3 = st_i.rho[:, None, None]
+                acc = (
+                    acc[0] + w * rb3 * st_i.u1, acc[1] + w * rb3 * st_i.u2,
+                    acc[2] + w * rb3 * st_i.ua, acc[3] + w * rb3 * st_i.ub,
+                    acc[4] + w * st_i.rho[:, None] * st_i.uc,
+                )
+                return st_i, acc
+
+            st, acc = jax.lax.fori_loop(0, chunk, body_acc, (st, zero_acc()))
+            inv = (1.0 / navg).astype(dtype)
+            ybar = tuple(inv * a for a in acc)
+            lb = safe_dual_bound(
+                jnp, A, mask, batch, ybar[0], ybar[1], ybar[2], ybar[3],
+                ybar[4], gamma, k, ub_bar,
+            )
+            if with_target:
+                cleared = lb >= target
+                gmax = jnp.zeros((B,), bool).at[group].max(cleared)
+                done = jnp.all(gmax[group] | cleared)
+            return st, (ybar, lb), it + chunk, done
+
+        # derive lb/done inits from state leaves so they inherit the
+        # shard_map "varying over nodes" annotation (a literal jnp.full /
+        # jnp.asarray is replicated and trips the while_loop carry check)
+        lb0 = jnp.zeros_like(state.rho) - jnp.inf
+        done0 = jnp.all(state.rho == jnp.inf)  # False, but varying-typed
+        carry0 = (state, (zero_acc(), lb0), jnp.asarray(0, jnp.int32), done0)
+        state, (ybar, lb_dev), _, _ = jax.lax.while_loop(
+            outer_cond, outer_body, carry0
         )
-        state, acc = jax.lax.fori_loop(0, ni, body_acc, (state, acc0))
 
         Msep = jnp.einsum("bik,bjk->bij", state.U, state.U) - state.Y
         Msep = 0.5 * (Msep + jnp.swapaxes(Msep, -1, -2))
         sep_w, sep_V = jnp.linalg.eigh(Msep)
-        inv = (1.0 / navg).astype(state.u1.dtype)
         out = {
             "X": sX * state.X, "Y": state.Y, "Th": sT * state.Th, "U": state.U,
-            "y1": inv * acc[0], "y2": inv * acc[1],
-            "ya": inv * acc[2], "yb": inv * acc[3], "yc": inv * acc[4],
+            "y1": ybar[0], "y2": ybar[1],
+            "ya": ybar[2], "yb": ybar[3], "yc": ybar[4],
+            # the last chunk's on-device safe bound (compute-dtype, with
+            # the dtype-scaled safety margin) — the driver's screening
+            # bound at large batch sizes
+            "lb_dev": lb_dev,
             "sep_w": sep_w[..., :2], "sep_V": sep_V[..., :, :2],
         }
         return state, out

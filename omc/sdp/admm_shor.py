@@ -212,7 +212,11 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
     sW = sX * sX
 
     def solve(A, mask, batch: NodeBatch, sb: ShorBatch, ub_bar,
-              state: ShorADMMState):
+              state: ShorADMMState, n_iters=None):
+        """``n_iters`` (optional, traced): runtime iteration budget, same
+        contract as ``make_admm_solver`` — one compiled program serves any
+        budget."""
+        ni = jnp.asarray(iters if n_iters is None else n_iters, jnp.int32)
         A = A.astype(dtype)
         mask = mask.astype(dtype)
         B = batch.cut_mask.shape[0]
@@ -392,12 +396,12 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
                                  wp=wp, up=up)
 
         # tail-averaged dual outputs (see omc.sdp.admm)
-        navg = max(1, iters // 4)
+        navg = jnp.maximum(1, ni // 4)
 
         def body_acc(it, carry):
             st, acc = carry
             st = body(it, st)
-            take = (it >= iters - navg)
+            take = (it >= ni - navg)
             w = jnp.where(take, 1.0, 0.0).astype(dtype)
             rb = st.core.rho
             rb3 = rb[:, None, None]
@@ -417,13 +421,13 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
             jnp.zeros_like(state.core.uc), jnp.zeros_like(state.u5),
             jnp.zeros_like(state.ur), jnp.zeros_like(state.ul),
         )
-        state, acc = jax.lax.fori_loop(0, iters, body_acc, (state, acc0))
+        state, acc = jax.lax.fori_loop(0, ni, body_acc, (state, acc0))
 
         c0 = state.core
         Msep = jnp.einsum("bik,bjk->bij", c0.U, c0.U) - c0.Y
         Msep = 0.5 * (Msep + jnp.swapaxes(Msep, -1, -2))
         sep_w, sep_V = jnp.linalg.eigh(Msep)
-        inv = 1.0 / navg
+        inv = (1.0 / navg).astype(dtype)
         out = {
             "X": sX * c0.X, "Y": c0.Y, "Th": sT * c0.Th, "U": c0.U,
             "W": sW * state.W,

@@ -1,0 +1,52 @@
+"""Worker process for the multi-host CPU simulation test.
+
+Usage: python dist_worker.py <coordinator> <process_id> <num_processes>
+
+Forces the CPU backend (the test machine's TPU tunnel must not be touched),
+joins the jax distributed runtime over TCP, runs the distributed
+branch-and-bound driver on the shared instance, and prints one RESULT line.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    coord, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+    from omc.data import generate_matrix_completion_data
+    from omc.solve import matrix_completion_branchandbound
+
+    A, idx = generate_matrix_completion_data(1, 10, 10, 60, seed=2)
+    sol, _, inst = matrix_completion_branchandbound(
+        1, A, idx, 20.0,
+        node_selection="bestfirst",
+        disjunctive_cuts_type="linear",
+        disjunctive_cuts_breakpoints="smallest_1_eigvec",
+        gap=1e-2, batch_size=4, sdp_iters=600, dtype="float64",
+        time_limit=150, verbosity=0,
+        distributed=True, dist_rebalance_every=2,
+    )
+    rd = inst["run_details"]
+    print("RESULT " + json.dumps({
+        "pid": pid,
+        "objective": sol["objective"],
+        "gap": inst["run_log"][-1]["gap"],
+        "nodes_explored_local": rd["nodes_explored"],
+        "nodes_explored_global": rd["census_global"]["nodes_explored"],
+        "process_count": rd["process_count"],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

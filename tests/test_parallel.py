@@ -94,3 +94,25 @@ def test_driver_mesh_mccormick():
     )
     assert np.isfinite(sol["objective"])
     assert inst["run_log"][-1]["gap"] <= 5e-2
+
+
+def test_driver_mesh_shor():
+    """Shor valid inequalities under an 8-device mesh (sharded constraint
+    tables + runtime iteration budget)."""
+    from omc.data import generate_matrix_completion_data
+    from omc.solve import matrix_completion_branchandbound
+
+    A, idx = generate_matrix_completion_data(1, 8, 8, 44, seed=4)
+    sol, _, inst = matrix_completion_branchandbound(
+        1, A, idx, 20.0,
+        node_selection="bestfirst",
+        disjunctive_cuts_type="linear",
+        disjunctive_cuts_breakpoints="smallest_1_eigvec",
+        add_Shor_valid_inequalities=True,
+        add_Shor_valid_inequalities_iterative=True,
+        update_Shor_indices_n_minors=6,
+        mesh_shape=(8,), gap=5e-2, batch_size=8, sdp_iters=600,
+        dtype="float64", time_limit=180, verbosity=0,
+    )
+    assert np.isfinite(sol["objective"])
+    assert inst["run_log"][-1]["gap"] <= 5e-2
