@@ -91,6 +91,11 @@ class SolverConfig:
     # margin-guarded safe bound (BASELINE config 4 scale: certifying
     # thousands of 250x250 nodes in host float64 would dominate the step)
     host_certify_max_batch: int = 64
+    # opt-in jax.profiler trace (SURVEY section 5 "Tracing / profiling"):
+    # writes a TensorBoard-compatible device trace of the first
+    # ``profile_steps`` super-steps into ``profile_dir``
+    profile_dir: Optional[str] = None
+    profile_steps: int = 3
     altmin_max_iters: int = 100  # matches reference altmin max_iters (line 2000)
     altmin_tol: float = 1e-5  # matches reference eps (line 1998)
     dtype: str = "float32"  # device compute dtype ("float32" | "float64")

@@ -119,6 +119,67 @@ def mccormick_box_feasible(U_lower: np.ndarray, U_upper: np.ndarray,
     return True
 
 
+def mccormick_lp_feasible(U_lower: np.ndarray, U_upper: np.ndarray) -> bool:
+    """Exact LP feasibility of the reference's relaxation-feasibility model
+    (`/root/reference/src/OptimalMatrixCompletion.jl:1294-1429`), minus the
+    column SOC rows (an LP cannot carry them; dropping constraints only
+    weakens the test, so a False here is still a sound infeasibility
+    certificate — and strictly stronger than ``mccormick_box_feasible``,
+    which treats orthogonality rows with independent U choices).
+
+    Variables: U (n*k, box bounds) and t (n*q, free); constraints: the four
+    McCormick envelope rows per (i, j1 <= j2) linking t to the SHARED U
+    entries, and the orthogonality equalities sum_i t[i, p] = delta_p.
+    Solved with scipy's HiGHS (the host-native analogue of the reference's
+    Mosek feasibility LP)."""
+    from scipy.optimize import linprog
+    from scipy.sparse import coo_matrix
+
+    U_lower = np.asarray(U_lower, np.float64)
+    U_upper = np.asarray(U_upper, np.float64)
+    n, k = U_lower.shape
+    J1, J2 = pair_indices(k)
+    q = len(J1)
+    s, c1, c2, d = mccormick_coeffs(U_lower, U_upper, J1, J2, xp=np)
+    # variable layout: [U (n*k) | t (n*q)]
+    nv = n * k + n * q
+    rows, cols, vals = [], [], []
+    rhs = []
+    r = 0
+    for rr in range(4):  # four envelope rows, as -w_r <= 0
+        for p in range(q):
+            for i in range(n):
+                rows += [r, r, r]
+                cols += [n * k + p * n + i, i * k + int(J1[p]),
+                         i * k + int(J2[p])]
+                vals += [-s[rr, i, p], -c1[rr, i, p], -c2[rr, i, p]]
+                rhs.append(d[rr, i, p])
+                r += 1
+    A_ub = coo_matrix((vals, (rows, cols)), shape=(r, nv))
+    b_ub = np.asarray(rhs)
+    # orthogonality equalities
+    rows_e, cols_e, vals_e = [], [], []
+    for p in range(q):
+        for i in range(n):
+            rows_e.append(p)
+            cols_e.append(n * k + p * n + i)
+            vals_e.append(1.0)
+    A_eq = coo_matrix((vals_e, (rows_e, cols_e)), shape=(q, nv))
+    b_eq = (J1 == J2).astype(np.float64)
+    t_lo, t_hi = t_corner_box(U_lower, U_upper, J1, J2, xp=np)
+    bounds = [
+        (U_lower[i, j], U_upper[i, j]) for i in range(n) for j in range(k)
+    ] + [
+        (t_lo[i, p] - 1e-9, t_hi[i, p] + 1e-9)
+        for p in range(q) for i in range(n)
+    ]
+    res = linprog(
+        np.zeros(nv), A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq,
+        bounds=bounds, method="highs",
+    )
+    return res.status != 2  # 2 = infeasible
+
+
 def master_feasible_mccormick(Y, U, X, Th, *, orthogonality_tolerance=0.0,
                               projection_tolerance=1e-6,
                               lifted_variable_tolerance=1e-6) -> bool:

@@ -56,6 +56,7 @@ from omc.sdp.mccormick import (
     make_mccormick_solver,
     master_feasible_mccormick,
     mccormick_box_feasible,
+    mccormick_lp_feasible,
 )
 from omc.sdp.shor_encode import pack_shor_batch
 from omc.sdp.shor_k import (
@@ -146,6 +147,14 @@ def _pack_batch(nodes: List[BBNode], B: int, L: int, n: int, k: int,
     )
 
 
+def _np_objective(X, A, mask, gamma):
+    """Exact objective in pure numpy — the host polish path must not
+    dispatch per-iteration jnp ops (each is a device round trip; over the
+    remote-TPU tunnel that costs more than the entire polish)."""
+    fit = 0.5 * float(np.sum(mask * (X - A) ** 2))
+    return fit + (0.5 / gamma) * float(np.sum(X * X))
+
+
 def _polish_incumbent(X0, A, mask, gamma, k, iters=25):
     """Host float64 polish of an incumbent candidate: exact closed-form
     alternating ridge steps from X0, then SVD re-orthonormalisation and
@@ -166,11 +175,11 @@ def _polish_incumbent(X0, A, mask, gamma, k, iters=25):
         rhs_u = (mask * A) @ V.T
         U_new = np.linalg.solve(H + eye_k, rhs_u[..., None])[..., 0]  # (n, k)
         X = U_new @ V
-        U_orth = np.linalg.svd(X, full_matrices=False)[0][:, :k]
-        obj = float(evaluate_objective(X, A, mask, U_orth, gamma))
+        obj = _np_objective(X, A, mask, gamma)
         if obj < best_obj - 1e-14:
-            best_obj, best_X, best_U = obj, X, U_orth
+            best_obj, best_X = obj, X
         U = U_new
+    best_U = np.linalg.svd(best_X, full_matrices=False)[0][:, :k]
     return best_obj, best_X, best_U
 
 
@@ -185,7 +194,7 @@ def _round_to_incumbent(Y, A, mask, gamma, k):
     rhs = (U.T @ (mask * A)).T
     Vv = np.linalg.solve(G, rhs[..., None])[..., 0]  # (m, k)
     X = U @ Vv.T
-    obj = float(evaluate_objective(X, A, mask, U, gamma))
+    obj = _np_objective(X, A, mask, gamma)
     return obj, X, U
 
 
@@ -505,6 +514,24 @@ def matrix_completion_branchandbound(
         })
         tree.last_updated_counter = tree.counter
 
+    # opt-in device profiling: trace the first profile_steps super-steps
+    # (jax.profiler writes a TensorBoard-compatible trace to profile_dir)
+    profiling = {"on": False, "steps": 0}
+    if cfg.profile_dir:
+        import jax as _jax
+
+        _jax.profiler.start_trace(cfg.profile_dir)
+        profiling["on"] = True
+
+    def maybe_stop_profiler(force=False):
+        if profiling["on"]:
+            profiling["steps"] += 1
+            if force or profiling["steps"] > cfg.profile_steps:
+                import jax as _jax
+
+                _jax.profiler.stop_trace()
+                profiling["on"] = False
+
     # jitted program caches, keyed by the cut-capacity bucket
     solvers: Dict[int, object] = {}
     iter_rate: Dict[str, float] = {}  # measured seconds per solver iteration
@@ -739,7 +766,11 @@ def matrix_completion_branchandbound(
                 census["nodes_dominated"] += 1
             elif use_mccormick:
                 t0 = time.time()
+                # cheap interval screen first, then the exact envelope LP
+                # (reference's per-node feasibility model, lines 1294-1429)
                 feas = mccormick_box_feasible(node.U_lower, node.U_upper)
+                if feas:
+                    feas = mccormick_lp_feasible(node.U_lower, node.U_upper)
                 solve_time_relaxation_feasibility += time.time() - t0
                 if not feas:
                     census["nodes_relax_infeasible"] += 1
@@ -1188,6 +1219,7 @@ def matrix_completion_branchandbound(
         )
         add_update(echo_row=print_now if verbosity >= 1 else verbosity >= 3)
         maybe_checkpoint()
+        maybe_stop_profiler()
 
         if cfg.root_only:
             break
@@ -1195,6 +1227,7 @@ def matrix_completion_branchandbound(
     end_time = time.time()
     time_taken = end_time - start_time
     maybe_checkpoint(force=True)
+    maybe_stop_profiler(force=True)
 
     census_global = None
     if dist is not None:

@@ -82,3 +82,35 @@ def test_root_only_mode(small_instance):
     )
     assert inst["run_details"]["nodes_explored"] == 1
     assert inst["run_details"]["nodes_total"] >= 1
+
+
+@pytest.mark.slow
+def test_bnb_rank2_linear3_smallest2_bfdf():
+    """Rank-2 disjunctive end-to-end: 4^k fan-out (linear3), blended
+    smallest_2_eigvec breakpoints, bestfirst_depthfirst selection —
+    the BASELINE config-3 feature set at test size."""
+    n = m = 10
+    A, idx = generate_matrix_completion_data(2, n, m, int(0.7 * n * m), seed=6)
+    sol, _, inst = matrix_completion_branchandbound(
+        2, A, idx, 20.0,
+        node_selection="bestfirst_depthfirst",
+        bestfirst_depthfirst_cutoff=50,
+        disjunctive_cuts_type="linear3",
+        disjunctive_cuts_breakpoints="smallest_2_eigvec",
+        gap=2e-2,
+        batch_size=8,
+        sdp_iters=1200,
+        dtype="float64",
+        time_limit=300,
+        verbosity=0,
+    )
+    rd = inst["run_details"]
+    log = inst["run_log"]
+    assert log[-1]["gap"] <= 2e-2
+    assert sol["objective"] <= sol["objective_initial"] + 1e-12
+    assert np.linalg.matrix_rank(sol["X"], tol=1e-6) <= 2
+    # 4^k = 16-way fan-out: any split must have created 16 children
+    if rd["nodes_relax_feasible_split"] > 0:
+        assert rd["nodes_total"] >= 1 + 16
+    lowers = [r["lower"] for r in log if np.isfinite(r["lower"])]
+    assert all(b >= a - 1e-9 for a, b in zip(lowers, lowers[1:]))

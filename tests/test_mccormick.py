@@ -178,3 +178,37 @@ def matrix_completion_branchandbound_lazy(k, A, idx, gamma, **kw):
         time_limit=240, batch_size=16, sdp_iters=1200, dtype="float64",
         verbosity=0, **kw,
     )
+
+
+def test_lp_feasibility_stronger_than_interval():
+    """The envelope LP (reference's exact feasibility model, lines
+    1294-1429) rejects boxes the interval certificate cannot: coupling
+    through the SHARED U entries across orthogonality rows."""
+    from omc.sdp.mccormick import mccormick_box_feasible, mccormick_lp_feasible
+
+    # found by seeded random search; interval-feasible, LP-infeasible
+    lo = np.array([
+        [-0.438258, 0.461412],
+        [0.136385, 0.799892],
+        [-0.104283, -0.186774],
+        [-0.386986, -0.537255],
+    ])
+    hi = np.array([
+        [0.017279, 0.646692],
+        [0.739977, 0.989345],
+        [0.367068, 0.210955],
+        [0.052936, 0.089537],
+    ])
+    assert mccormick_box_feasible(lo, hi)
+    assert not mccormick_lp_feasible(lo, hi)
+
+    # sanity: a box containing an orthonormal U stays feasible under both
+    n, k = 4, 2
+    full_lo, full_hi = -np.ones((n, k)), np.ones((n, k))
+    assert mccormick_box_feasible(full_lo, full_hi)
+    assert mccormick_lp_feasible(full_lo, full_hi)
+
+    # soundness on a genuinely feasible tight box: U = e1, e2 columns
+    U = np.zeros((n, k)); U[0, 0] = 1.0; U[1, 1] = 1.0
+    eps = 0.05
+    assert mccormick_lp_feasible(U - eps, U + eps)
