@@ -85,6 +85,12 @@ class SolverConfig:
     # safe dual bound is evaluated every this many iterations and the loop
     # exits as soon as every live node's bound target is cleared
     sdp_check_every: int = 2000
+    # anchored (Halpern / HPR-style) acceleration of the relaxed DR map;
+    # opt-in experiment — O(1/k) worst-case fixed-point residual rate, but
+    # MEASURED WORSE on the warm-started headline instance (anchoring pulls
+    # the iterate back toward the warm start: 59k vs 16k iterations to the
+    # same bound on rank-1 50x50); left available for cold-start studies
+    sdp_halpern: bool = False
     # at batch buckets above this size, host float64 certification runs
     # only on the binding slots (prune/close candidates + the lowest
     # bounds, which drive the global LB); the rest keep the on-device

@@ -120,7 +120,8 @@ def shard_solver_shor(mesh: Mesh, solve):
     rep = P()
     sh = P("nodes")
     step = _shard_map()(
-        solve, mesh=mesh, in_specs=(rep, rep, sh, sh, rep, sh, rep),
+        solve, mesh=mesh,
+        in_specs=(rep, rep, sh, sh, rep, sh, rep, sh, sh),
         out_specs=(sh, sh),
     )
     return jax.jit(step)

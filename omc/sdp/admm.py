@@ -247,7 +247,8 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                      iters: int = 400, dtype=jnp.float32, rho: float = 1.0,
                      alpha: float = 1.6, sX: float = 1.0, sT: float = 1.0,
                      psd_method: str = "auto", jit: bool = True,
-                     adapt_rho: bool = False, check_every: int = 2000):
+                     adapt_rho: bool = False, check_every: int = 2000,
+                     halpern: bool = False):
     """Build the jitted batched ADMM solver with the same interface as
     ``omc.sdp.relax.make_solver`` (state type differs).
 
@@ -311,6 +312,21 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
             zU = zU - vU / (4.0 * r3)
             return zX, zY, zTh, zU
 
+        if halpern:
+            # Halpern anchor: the fixed-point variable s = w + u of the
+            # relaxed DR map at the warm start.  The iteration becomes
+            # s_{k+1} = b_k s_0 + (1 - b_k) T(s_k), b_k = 1/(k+2) — the
+            # anchored (HPR-style) scheme with an O(1/k) residual rate;
+            # the (w, u) pair stays the proj-split of s, so per-iteration
+            # cost is unchanged.
+            anchors = (
+                state.w1 + state.u1, state.w2 + state.u2,
+                state.w3 + state.u3, state.w4 + state.u4,
+                state.wsoc + state.usoc, state.wbox + state.ubox,
+                state.wa + state.ua, state.wb + state.ub,
+                state.wc + state.uc,
+            )
+
         def body(it, st: ADMMState):
             rho_b = st.rho
             r3 = rho_b[:, None, None]
@@ -338,32 +354,41 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
             def relax_mix(fz, w):
                 return alpha * fz + (1.0 - alpha) * w
 
-            t1 = relax_mix(f[0], st.w1) + st.u1
+            if halpern:
+                beta = 1.0 / (it.astype(dtype) + 2.0)
+
+                def hal(t, a):
+                    return beta * a + (1.0 - beta) * t
+            else:
+                def hal(t, a):
+                    return t
+
+            t1 = hal(relax_mix(f[0], st.w1) + st.u1, anchors[0] if halpern else None)
             w1 = proj(t1)
             u1 = t1 - w1
-            t2 = relax_mix(f[1], st.w2) + st.u2
+            t2 = hal(relax_mix(f[1], st.w2) + st.u2, anchors[1] if halpern else None)
             w2 = proj(t2)
             u2 = t2 - w2
-            t3 = relax_mix(f[2], st.w3) + st.u3
+            t3 = hal(relax_mix(f[2], st.w3) + st.u3, anchors[2] if halpern else None)
             w3 = proj(t3)
             u3 = t3 - w3
-            t4 = relax_mix(f[3], st.w4) + st.u4
+            t4 = hal(relax_mix(f[3], st.w4) + st.u4, anchors[3] if halpern else None)
             w4 = jnp.maximum(t4, 0.0)
             u4 = t4 - w4
-            tsoc = relax_mix(f[4], st.wsoc) + st.usoc
+            tsoc = hal(relax_mix(f[4], st.wsoc) + st.usoc, anchors[4] if halpern else None)
             pt, pw = project_soc(tsoc[..., 0], tsoc[..., 1:])
             wsoc = jnp.concatenate([pt[..., None], pw], axis=-1)
             usoc = tsoc - wsoc
-            tbox = relax_mix(f[5], st.wbox) + st.ubox
+            tbox = hal(relax_mix(f[5], st.wbox) + st.ubox, anchors[5] if halpern else None)
             wbox = jnp.clip(tbox, batch.U_lo, batch.U_hi)
             ubox = tbox - wbox
-            ta = relax_mix(f[6], st.wa) + st.ua
+            ta = hal(relax_mix(f[6], st.wa) + st.ua, anchors[6] if halpern else None)
             wa = jnp.maximum(ta, 0.0)
             ua = (ta - wa) * cm[..., None]
-            tb = relax_mix(f[7], st.wb) + st.ub
+            tb = hal(relax_mix(f[7], st.wb) + st.ub, anchors[7] if halpern else None)
             wb = jnp.maximum(tb, 0.0)
             ub = (tb - wb) * cm[..., None]
-            tc = relax_mix(f[8], st.wc) + st.uc
+            tc = hal(relax_mix(f[8], st.wc) + st.uc, anchors[8] if halpern else None)
             wc = jnp.maximum(tc, 0.0)
             uc = (tc - wc) * cm
 
@@ -435,7 +460,7 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
 
             def body_acc(i, inner):
                 st_i, acc = inner
-                st_i = body(i, st_i)
+                st_i = body(it + i, st_i)
                 w = jnp.where(i >= chunk - navg, 1.0, 0.0).astype(dtype)
                 rb3 = st_i.rho[:, None, None]
                 acc = (
@@ -464,7 +489,7 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
         lb0 = jnp.zeros_like(state.rho) - jnp.inf
         done0 = jnp.all(state.rho == jnp.inf)  # False, but varying-typed
         carry0 = (state, (zero_acc(), lb0), jnp.asarray(0, jnp.int32), done0)
-        state, (ybar, lb_dev), _, _ = jax.lax.while_loop(
+        state, (ybar, lb_dev), iters_run, _ = jax.lax.while_loop(
             outer_cond, outer_body, carry0
         )
 
@@ -479,6 +504,7 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
             # the dtype-scaled safety margin) — the driver's screening
             # bound at large batch sizes
             "lb_dev": lb_dev,
+            "iters_run": jnp.zeros_like(state.rho if hasattr(state, "rho") else state.core.rho, dtype=jnp.int32) + iters_run,
             "sep_w": sep_w[..., :2], "sep_V": sep_V[..., :, :2],
         }
         return state, out

@@ -200,11 +200,14 @@ def _adjoint_shor(sb: ShorBatch, y5, yr, yl, B, n, m, sX, sW):
 def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
                      *, iters: int = 400, dtype=jnp.float32,
                      alpha: float = 1.6, sX: float = 1.0, sT: float = 1.0,
-                     psd_method: str = "auto", jit: bool = True):
+                     psd_method: str = "auto", jit: bool = True,
+                     check_every: int = 2000):
     """Batched ADMM solver for the rank-1 relaxation with Shor valid
     inequalities.  Interface mirrors ``make_admm_solver`` with the extra
     per-batch ``ShorBatch`` argument; returns (state, out) where ``out``
-    additionally carries W and the Shor dual blocks for certification."""
+    additionally carries W and the Shor dual blocks for certification.
+    ``check_every``/``target``/``group`` give the same on-device
+    certification early exit as the base ADMM solver."""
     k = 1
     if psd_method == "auto":
         psd_method = "eigh" if dtype == jnp.float64 else "ns"
@@ -212,7 +215,7 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
     sW = sX * sX
 
     def solve(A, mask, batch: NodeBatch, sb: ShorBatch, ub_bar,
-              state: ShorADMMState, n_iters=None):
+              state: ShorADMMState, n_iters=None, target=None, group=None):
         """``n_iters`` (optional, traced): runtime iteration budget, same
         contract as ``make_admm_solver`` — one compiled program serves any
         budget."""
@@ -395,45 +398,78 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
                                  w5=w5, u5=u5, wr=wr, ur=ur, wl=wl, ul=ul,
                                  wp=wp, up=up)
 
-        # tail-averaged dual outputs (see omc.sdp.admm)
-        navg = jnp.maximum(1, ni // 4)
+        # chunked run with tail-averaged dual outputs and optional
+        # on-device certification early exit (see omc.sdp.admm)
+        with_target = target is not None
+        if group is None:
+            group = jnp.arange(B, dtype=jnp.int32)
 
-        def body_acc(it, carry):
-            st, acc = carry
-            st = body(it, st)
-            take = (it >= ni - navg)
-            w = jnp.where(take, 1.0, 0.0).astype(dtype)
-            rb = st.core.rho
-            rb3 = rb[:, None, None]
-            acc = (
-                acc[0] + w * rb3 * st.core.u1, acc[1] + w * rb3 * st.core.u2,
-                acc[2] + w * rb3 * st.core.ua, acc[3] + w * rb3 * st.core.ub,
-                acc[4] + w * rb[:, None] * st.core.uc,
-                acc[5] + w * rb[:, None, None, None] * st.u5,
-                acc[6] + w * rb3 * st.ur,
-                acc[7] + w * rb[:, None] * st.ul,
+        def zero_acc():
+            return (
+                jnp.zeros_like(state.core.u1), jnp.zeros_like(state.core.u2),
+                jnp.zeros_like(state.core.ua), jnp.zeros_like(state.core.ub),
+                jnp.zeros_like(state.core.uc), jnp.zeros_like(state.u5),
+                jnp.zeros_like(state.ur), jnp.zeros_like(state.ul),
             )
-            return st, acc
 
-        acc0 = (
-            jnp.zeros_like(state.core.u1), jnp.zeros_like(state.core.u2),
-            jnp.zeros_like(state.core.ua), jnp.zeros_like(state.core.ub),
-            jnp.zeros_like(state.core.uc), jnp.zeros_like(state.u5),
-            jnp.zeros_like(state.ur), jnp.zeros_like(state.ul),
+        def outer_cond(carry):
+            st, ybar_lb, it, done = carry
+            return jnp.logical_and(it < ni, ~done)
+
+        def outer_body(carry):
+            st, ybar_lb, it, done = carry
+            chunk = jnp.minimum(check_every, ni - it)
+            navg = jnp.maximum(1, chunk // 4)
+
+            def body_acc(i, inner):
+                st_i, acc = inner
+                st_i = body(it + i, st_i)
+                w = jnp.where(i >= chunk - navg, 1.0, 0.0).astype(dtype)
+                rb = st_i.core.rho
+                rb3 = rb[:, None, None]
+                acc = (
+                    acc[0] + w * rb3 * st_i.core.u1,
+                    acc[1] + w * rb3 * st_i.core.u2,
+                    acc[2] + w * rb3 * st_i.core.ua,
+                    acc[3] + w * rb3 * st_i.core.ub,
+                    acc[4] + w * rb[:, None] * st_i.core.uc,
+                    acc[5] + w * rb[:, None, None, None] * st_i.u5,
+                    acc[6] + w * rb3 * st_i.ur,
+                    acc[7] + w * rb[:, None] * st_i.ul,
+                )
+                return st_i, acc
+
+            st, acc = jax.lax.fori_loop(0, chunk, body_acc, (st, zero_acc()))
+            inv = (1.0 / navg).astype(dtype)
+            ybar = tuple(inv * a for a in acc)
+            lb = safe_dual_bound_shor(
+                jnp, A, mask, batch, sb, ybar[0], ybar[1], ybar[2], ybar[3],
+                ybar[4], ybar[5], ybar[6], ybar[7], gamma, ub_bar,
+            )
+            if with_target:
+                cleared = lb >= target
+                gmax = jnp.zeros((B,), bool).at[group].max(cleared)
+                done = jnp.all(gmax[group] | cleared)
+            return st, (ybar, lb), it + chunk, done
+
+        lb0 = jnp.zeros_like(state.core.rho) - jnp.inf
+        done0 = jnp.all(state.core.rho == jnp.inf)  # False, varying-typed
+        carry0 = (state, (zero_acc(), lb0), jnp.asarray(0, jnp.int32), done0)
+        state, (ybar, lb_dev), iters_run, _ = jax.lax.while_loop(
+            outer_cond, outer_body, carry0
         )
-        state, acc = jax.lax.fori_loop(0, ni, body_acc, (state, acc0))
 
         c0 = state.core
         Msep = jnp.einsum("bik,bjk->bij", c0.U, c0.U) - c0.Y
         Msep = 0.5 * (Msep + jnp.swapaxes(Msep, -1, -2))
         sep_w, sep_V = jnp.linalg.eigh(Msep)
-        inv = (1.0 / navg).astype(dtype)
         out = {
             "X": sX * c0.X, "Y": c0.Y, "Th": sT * c0.Th, "U": c0.U,
             "W": sW * state.W,
-            "y1": inv * acc[0], "y2": inv * acc[1],
-            "ya": inv * acc[2], "yb": inv * acc[3], "yc": inv * acc[4],
-            "y5": inv * acc[5], "yr": inv * acc[6], "yl": inv * acc[7],
+            "y1": ybar[0], "y2": ybar[1],
+            "ya": ybar[2], "yb": ybar[3], "yc": ybar[4],
+            "y5": ybar[5], "yr": ybar[6], "yl": ybar[7],
+            "lb_dev": lb_dev, "iters_run": jnp.zeros_like(state.rho if hasattr(state, "rho") else state.core.rho, dtype=jnp.int32) + iters_run,
             "sep_w": sep_w[..., :2], "sep_V": sep_V[..., :, :2],
         }
         return state, out
@@ -469,6 +505,161 @@ def _np_project_rsoc(u, v, x):
     return u_p, v_p, z_p[..., 1:]
 
 
+def _psd_part(xp, M):
+    M = 0.5 * (M + xp.swapaxes(M, -1, -2))
+    w, V = xp.linalg.eigh(M)
+    return xp.einsum("...ik,...k,...jk->...ij", V, xp.maximum(w, 0.0), V)
+
+
+def _project_rsoc_xp(xp, u, v, x):
+    s2 = xp.sqrt(xp.asarray(2.0, u.dtype)) if xp is not np else np.sqrt(2.0)
+    t = (u + v) / s2
+    s = (u - v) / s2
+    z = xp.concatenate([s[..., None], x], axis=-1)
+    nz = xp.linalg.norm(z, axis=-1)
+    inside = nz <= t
+    polar = nz <= -t
+    scale = xp.where(nz > 0, 0.5 * (1.0 + t / xp.where(nz > 0, nz, 1.0)), 0.0)
+    t_p = xp.where(inside, t, xp.where(polar, 0.0, 0.5 * (t + nz)))
+    z_p = xp.where(inside[..., None], z,
+                   xp.where(polar[..., None], 0.0, scale[..., None] * z))
+    u_p = (t_p + z_p[..., 0]) / s2
+    v_p = (t_p - z_p[..., 0]) / s2
+    return u_p, v_p, z_p[..., 1:]
+
+
+def _scatter_add(xp, arr, bidx, idx, val):
+    if xp is np:
+        np.add.at(arr, (bidx, idx), val)
+        return arr
+    return arr.at[bidx, idx].add(val)
+
+
+def safe_dual_bound_shor(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya, yb,
+                         yc, y5, yr, yl, gamma, ub_bar, margin_rel=None):
+    """Closed-form safe Lagrangian dual bound for the rank-1 Shor
+    relaxation — valid for ANY solver state (see the host docstring).
+    Backend-agnostic: numpy for certified f64 host evaluation, jnp for the
+    on-device early-exit screen inside the compiled loop.  ``sb`` is any
+    object with the ShorBatch(Host) field layout."""
+    n, m = A.shape[-2], A.shape[-1]
+    B = y1.shape[0]
+    k = 1
+    T_th = 2.0 * gamma * ub_bar
+    R_X = xp.sqrt(T_th) if xp is np else xp.sqrt(xp.asarray(T_th, A.dtype))
+    Wmax = T_th
+    Vmax = T_th
+
+    S1 = _psd_part(xp, -y1)
+    S2 = _psd_part(xp, -y2)
+    P1, q, R1 = S1[:, :n, :n], S1[:, :n, n:], S1[:, n:, n:]
+    P2, D, E = S2[:, :n, :n], S2[:, :n, n:], S2[:, n:, n:]
+
+    cmask = batch.cut_mask
+    alpha = xp.maximum(-ya, 0.0) * cmask[..., None]
+    beta = xp.maximum(-yb, 0.0) * cmask[..., None]
+    lam = xp.maximum(-yc, 0.0) * cmask
+    cut_x = batch.cut_x
+    lo, hi = batch.cut_lo, batch.cut_hi
+    c = lo + hi
+    bconst = xp.sum(-lo * hi, axis=-1)
+
+    m5m = sb.minor_mask
+    S5 = _psd_part(xp, -y5) * m5m[..., None, None]
+    socm = sb.soc_mask
+    dr = -yr
+    a_r, b_r, c_r = _project_rsoc_xp(xp, dr[..., 0], dr[..., 1], dr[..., 2:])
+    c_r = c_r[..., 0]
+    a_r, b_r, c_r = a_r * socm, b_r * socm, c_r * socm
+    mu = -yl  # (B, m), free
+
+    # ---- Y / U / cut terms (as in the base bound) ----
+    G_Y = -(P1 + P2) + xp.einsum("bl,bln,blp->bnp", lam, cut_x, cut_x)
+    G_Y = 0.5 * (G_Y + xp.swapaxes(G_Y, -1, -2))
+    y_term = xp.sum(xp.minimum(xp.linalg.eigh(G_Y)[0][..., :k], 0.0), axis=-1)
+
+    W_U = -2.0 * D - xp.einsum(
+        "bln,blk->bnk", cut_x, alpha - beta + lam[..., None] * c
+    )
+    u_term = xp.sum(
+        xp.minimum(W_U * batch.U_lo, W_U * batch.U_hi), axis=(-2, -1)
+    )
+
+    cut_const = (
+        xp.sum(alpha * lo, axis=(-2, -1))
+        - xp.sum(beta * hi, axis=(-2, -1))
+        - xp.sum(lam * bconst, axis=-1)
+    )
+
+    # ---- Theta ----
+    eye_m = (np.eye(m) if xp is np
+             else jnp.eye(m, dtype=A.dtype))
+    G_Th = (0.5 / gamma) * eye_m[None] - R1 - mu[:, None, :] * eye_m[None]
+    G_Th = 0.5 * (G_Th + xp.swapaxes(G_Th, -1, -2))
+    th_term = T_th * xp.minimum(xp.linalg.eigh(G_Th)[0][..., 0], 0.0)
+
+    # ---- X / W / V coefficient assembly (scatter the minor duals) ----
+    mi = sb.minor_idx
+    i1, i2, j1, j2 = mi[..., 0], mi[..., 1], mi[..., 2], mi[..., 3]
+    fl = (i1 * m + j1, i1 * m + j2, i2 * m + j1, i2 * m + j2)
+    coef_X = (
+        xp.broadcast_to((-mask * A)[None], (B, n, m)).reshape(B, -1)
+        - 2.0 * q.reshape(B, -1)
+    )
+    coef_W = xp.broadcast_to((0.5 * mask)[None], (B, n, m))
+    if xp is np:
+        coef_X = coef_X.copy()
+        coef_W = coef_W.copy()
+    coef_W = (coef_W + mu[:, None, :]).reshape(B, -1)
+    bidx = (np.arange(B)[:, None] if xp is np
+            else jnp.arange(B)[:, None])
+    for fi, col in zip(fl, (1, 2, 3, 4)):
+        coef_X = _scatter_add(xp, coef_X, bidx, fi, -2.0 * S5[..., 0, col])
+        coef_W = _scatter_add(xp, coef_W, bidx, fi, -S5[..., col, col])
+    sflat = sb.soc_idx[..., 0] * m + sb.soc_idx[..., 1]
+    coef_X = _scatter_add(xp, coef_X, bidx, sflat, -c_r)
+    coef_W = _scatter_add(xp, coef_W, bidx, sflat, -b_r)
+
+    zz = (np.zeros if xp is np else
+          (lambda s: jnp.zeros(s, dtype=A.dtype)))
+    coef_v1 = zz((B, sb.cnt_v1.shape[1]))
+    coef_v2 = zz((B, sb.cnt_v2.shape[1]))
+    coef_v3 = zz((B, sb.cnt_v3.shape[1]))
+    coef_v1 = _scatter_add(xp, coef_v1, bidx, sb.iv1a, -2.0 * S5[..., 1, 2])
+    coef_v1 = _scatter_add(xp, coef_v1, bidx, sb.iv1b, -2.0 * S5[..., 3, 4])
+    coef_v2 = _scatter_add(xp, coef_v2, bidx, sb.iv2a, -2.0 * S5[..., 1, 3])
+    coef_v2 = _scatter_add(xp, coef_v2, bidx, sb.iv2b, -2.0 * S5[..., 2, 4])
+    coef_v3 = _scatter_add(xp, coef_v3, bidx, sb.iv3,
+                           -2.0 * (S5[..., 1, 4] + S5[..., 2, 3]))
+
+    x_term = -R_X * xp.sum(xp.abs(coef_X), axis=-1)
+    w_term = Wmax * xp.sum(xp.minimum(coef_W, 0.0), axis=-1)
+    v_term = -Vmax * (
+        xp.sum(xp.abs(coef_v1), axis=-1)
+        + xp.sum(xp.abs(coef_v2), axis=-1)
+        + xp.sum(xp.abs(coef_v3), axis=-1)
+    )
+
+    const = (
+        0.5 * xp.sum(mask * A * A)
+        - xp.sum(S5[..., 0, 0], axis=-1)
+        - 0.5 * xp.sum(a_r, axis=-1)
+        - xp.trace(E, axis1=-2, axis2=-1)
+        + cut_const
+    )
+
+    lb = y_term + u_term + th_term + x_term + w_term + v_term + const
+    if margin_rel is None:
+        margin_rel = 1e-10 if A.dtype == xp.float64 else 3e-5
+    scale = (
+        1.0 + xp.abs(lb) + ub_bar
+        + xp.sqrt(xp.sum(S1 * S1, axis=(-2, -1)))
+        + xp.sqrt(xp.sum(S2 * S2, axis=(-2, -1)))
+        + xp.sqrt(xp.sum(S5 * S5, axis=(-3, -2, -1)))
+    )
+    return lb - margin_rel * scale
+
+
 def host_certified_bound_shor(A, mask, batch: NodeBatch, sbh: ShorBatchHost,
                               out: dict, gamma, ub_bar, margin_rel=1e-10):
     """Float64 safe Lagrangian dual bound for the rank-1 Shor relaxation.
@@ -480,112 +671,20 @@ def host_certified_bound_shor(A, mask, batch: NodeBatch, sbh: ShorBatchHost,
     result is valid for any solver state.
     """
     f = lambda a: np.asarray(a, dtype=np.float64)
-    A = f(A)
-    mask = f(mask)
-    n, m = A.shape
-    B = out["y1"].shape[0]
-    k = 1
-    T_th = 2.0 * gamma * ub_bar
-    R_X = np.sqrt(T_th)
-    Wmax = T_th
-    Vmax = T_th
-
-    S1 = _np_psd(-f(out["y1"]))
-    S2 = _np_psd(-f(out["y2"]))
-    P1, q, R1 = S1[:, :n, :n], S1[:, :n, n:], S1[:, n:, n:]
-    P2, D, E = S2[:, :n, :n], S2[:, :n, n:], S2[:, n:, n:]
-
-    cmask = f(batch.cut_mask)
-    alpha = np.maximum(-f(out["ya"]), 0.0) * cmask[..., None]
-    beta = np.maximum(-f(out["yb"]), 0.0) * cmask[..., None]
-    lam = np.maximum(-f(out["yc"]), 0.0) * cmask
-    cut_x = f(batch.cut_x)
-    lo, hi = f(batch.cut_lo), f(batch.cut_hi)
-    c = lo + hi
-    bconst = np.sum(-lo * hi, axis=-1)
-
-    m5m = f(sbh.minor_mask)
-    S5 = _np_psd(-f(out["y5"])) * m5m[..., None, None]
-    socm = f(sbh.soc_mask)
-    dr = -f(out["yr"])
-    a_r, b_r, c_r = _np_project_rsoc(dr[..., 0], dr[..., 1], dr[..., 2:])
-    c_r = c_r[..., 0]
-    a_r, b_r, c_r = a_r * socm, b_r * socm, c_r * socm
-    mu = -f(out["yl"])  # (B, m), free
-
-    # ---- Y / U / cut terms (as in the base bound) ----
-    G_Y = -(P1 + P2) + np.einsum("bl,bln,blp->bnp", lam, cut_x, cut_x)
-    G_Y = 0.5 * (G_Y + np.swapaxes(G_Y, -1, -2))
-    y_term = np.sum(np.minimum(np.linalg.eigh(G_Y)[0][..., :k], 0.0), axis=-1)
-
-    W_U = -2.0 * D - np.einsum(
-        "bln,blk->bnk", cut_x, alpha - beta + lam[..., None] * c
+    hb = NodeBatch(
+        cut_x=f(batch.cut_x), cut_lo=f(batch.cut_lo), cut_hi=f(batch.cut_hi),
+        cut_mask=f(batch.cut_mask), U_lo=f(batch.U_lo), U_hi=f(batch.U_hi),
     )
-    U_lo, U_hi = f(batch.U_lo), f(batch.U_hi)
-    u_term = np.sum(np.minimum(W_U * U_lo, W_U * U_hi), axis=(-2, -1))
-
-    cut_const = (
-        np.sum(alpha * lo, axis=(-2, -1))
-        - np.sum(beta * hi, axis=(-2, -1))
-        - np.sum(lam * bconst, axis=-1)
+    sbf = ShorBatchHost(
+        minor_idx=np.asarray(sbh.minor_idx), minor_mask=f(sbh.minor_mask),
+        iv1a=np.asarray(sbh.iv1a), iv1b=np.asarray(sbh.iv1b),
+        iv2a=np.asarray(sbh.iv2a), iv2b=np.asarray(sbh.iv2b),
+        iv3=np.asarray(sbh.iv3), soc_idx=np.asarray(sbh.soc_idx),
+        soc_mask=f(sbh.soc_mask), cnt_X=f(sbh.cnt_X), cnt_W=f(sbh.cnt_W),
+        cnt_v1=f(sbh.cnt_v1), cnt_v2=f(sbh.cnt_v2), cnt_v3=f(sbh.cnt_v3),
     )
-
-    # ---- Theta ----
-    G_Th = (0.5 / gamma) * np.eye(m)[None] - R1 - mu[:, None, :] * np.eye(m)[None]
-    G_Th = 0.5 * (G_Th + np.swapaxes(G_Th, -1, -2))
-    th_term = T_th * np.minimum(np.linalg.eigh(G_Th)[0][..., 0], 0.0)
-
-    # ---- X / W / V coefficient assembly (scatter the minor duals) ----
-    i1 = sbh.minor_idx[..., 0]
-    i2 = sbh.minor_idx[..., 1]
-    j1 = sbh.minor_idx[..., 2]
-    j2 = sbh.minor_idx[..., 3]
-    fl = (i1 * m + j1, i1 * m + j2, i2 * m + j1, i2 * m + j2)
-    coef_X = (
-        np.broadcast_to((-mask * A)[None], (B, n, m)).reshape(B, -1)
-        - 2.0 * q.reshape(B, -1)
+    return safe_dual_bound_shor(
+        np, f(A), f(mask), hb, sbf, f(out["y1"]), f(out["y2"]), f(out["ya"]),
+        f(out["yb"]), f(out["yc"]), f(out["y5"]), f(out["yr"]), f(out["yl"]),
+        float(gamma), float(ub_bar), margin_rel=margin_rel,
     )
-    coef_W = np.broadcast_to((0.5 * mask)[None], (B, n, m)).copy()
-    coef_W = (coef_W + mu[:, None, :]).reshape(B, -1)
-    bidx = np.arange(B)[:, None]
-    for fi, col in zip(fl, (1, 2, 3, 4)):
-        np.add.at(coef_X, (bidx, fi), -2.0 * S5[..., 0, col])
-        np.add.at(coef_W, (bidx, fi), -S5[..., col, col])
-    sflat = sbh.soc_idx[..., 0] * m + sbh.soc_idx[..., 1]
-    np.add.at(coef_X, (bidx, sflat), -c_r)
-    np.add.at(coef_W, (bidx, sflat), -b_r)
-
-    P1cap = sbh.cnt_v1.shape[1]
-    coef_v1 = np.zeros((B, P1cap))
-    coef_v2 = np.zeros((B, sbh.cnt_v2.shape[1]))
-    coef_v3 = np.zeros((B, sbh.cnt_v3.shape[1]))
-    np.add.at(coef_v1, (bidx, sbh.iv1a), -2.0 * S5[..., 1, 2])
-    np.add.at(coef_v1, (bidx, sbh.iv1b), -2.0 * S5[..., 3, 4])
-    np.add.at(coef_v2, (bidx, sbh.iv2a), -2.0 * S5[..., 1, 3])
-    np.add.at(coef_v2, (bidx, sbh.iv2b), -2.0 * S5[..., 2, 4])
-    np.add.at(coef_v3, (bidx, sbh.iv3), -2.0 * (S5[..., 1, 4] + S5[..., 2, 3]))
-
-    x_term = -R_X * np.sum(np.abs(coef_X), axis=-1)
-    w_term = Wmax * np.sum(np.minimum(coef_W, 0.0), axis=-1)
-    v_term = -Vmax * (
-        np.sum(np.abs(coef_v1), axis=-1)
-        + np.sum(np.abs(coef_v2), axis=-1)
-        + np.sum(np.abs(coef_v3), axis=-1)
-    )
-
-    const = (
-        0.5 * np.sum(mask * A * A)
-        - np.sum(S5[..., 0, 0], axis=-1)
-        - 0.5 * np.sum(a_r, axis=-1)
-        - np.trace(E, axis1=-2, axis2=-1)
-        + cut_const
-    )
-
-    lb = y_term + u_term + th_term + x_term + w_term + v_term + const
-    scale = (
-        1.0 + np.abs(lb) + ub_bar
-        + np.sqrt(np.sum(S1 * S1, axis=(-2, -1)))
-        + np.sqrt(np.sum(S2 * S2, axis=(-2, -1)))
-        + np.sqrt(np.sum(S5 * S5, axis=(-3, -2, -1)))
-    )
-    return lb - margin_rel * scale

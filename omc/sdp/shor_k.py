@@ -477,7 +477,11 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
     C = 4 * M5
 
     def solve(A, mask, batch: NodeBatch, sb: ShorKBatch, ub_bar,
-              state: ShorKState, n_iters=None):
+              state: ShorKState, n_iters=None, target=None, group=None):
+        # target/group accepted for signature parity with the k=1 Shor
+        # solver; the k>1 on-device bound (and with it early exit) is not
+        # implemented yet — the loop runs the full budget
+        del target, group
         ni = jnp.asarray(iters if n_iters is None else n_iters, jnp.int32)
         A = A.astype(dtype)
         mask = mask.astype(dtype)

@@ -78,7 +78,12 @@ from omc.sdp.relax import (
 from omc.sdp import shor as shor_mod
 from omc.tree import BBNode, BBTree, ShorInfo, compute_gap, root_box
 from omc.utils.checkpoint import load_checkpoint, save_checkpoint
-from omc.utils.logging import UPDATE_HEADER, add_message, update_row
+from omc.utils.logging import (
+    UPDATE_HEADER,
+    add_message,
+    alternating_minimization_printout,
+    update_row,
+)
 
 _L_BUCKETS = (8, 32, 128, 512, 2048)
 
@@ -134,12 +139,22 @@ def _pack_batch(nodes: List[BBNode], B: int, L: int, n: int, k: int,
         U_lo[i] = node.U_lower
         U_hi[i] = node.U_upper
         if node.cuts:
-            for l, cut in enumerate(node.cuts):
-                cut_x[i, l] = cut.x
-                lo, hi = region_bounds(cuts_type, cut.code, cut.vhat)
-                cut_lo[i, l] = lo
-                cut_hi[i, l] = hi
-                cut_mask[i, l] = 1.0
+            pc = node.packed_cuts
+            if pc is None or pc[0].shape[0] != len(node.cuts):
+                Lc = len(node.cuts)
+                px = np.empty((Lc, n))
+                plo = np.empty((Lc, k))
+                phi = np.empty((Lc, k))
+                for l, cut in enumerate(node.cuts):
+                    px[l] = cut.x
+                    lo, hi = region_bounds(cuts_type, cut.code, cut.vhat)
+                    plo[l], phi[l] = lo, hi
+                node.packed_cuts = pc = (px, plo, phi)
+            Lc = pc[0].shape[0]
+            cut_x[i, :Lc] = pc[0]
+            cut_lo[i, :Lc] = pc[1]
+            cut_hi[i, :Lc] = pc[2]
+            cut_mask[i, :Lc] = 1.0
     return NodeBatch(
         cut_x=jnp.asarray(cut_x), cut_lo=jnp.asarray(cut_lo),
         cut_hi=jnp.asarray(cut_hi), cut_mask=jnp.asarray(cut_mask),
@@ -274,6 +289,7 @@ def matrix_completion_branchandbound(
     solve_time_polish = 0.0
     sdp_iters_total = 0
     device_steps = 0
+    nodes_closed_within_gap = 0
     dict_solve_times_altmin: List[dict] = []
     dict_num_iterations_altmin: List[dict] = []
     dict_solve_times_relaxation: List[dict] = []
@@ -594,6 +610,7 @@ def matrix_completion_branchandbound(
                     n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype,
                     rho=cfg.sdp_rho, alpha=cfg.sdp_alpha, sX=sX, sT=sT,
                     jit=False, check_every=cfg.sdp_check_every,
+                    halpern=cfg.sdp_halpern,
                 ), extra_sharded=2)
             else:
                 solvers[L] = make_solver(
@@ -868,9 +885,12 @@ def matrix_completion_branchandbound(
             )
             sb_dev = _put(to_dev(sbh, dtype))
             state0 = _put(warm_state(work, Bb, L, M5)[0])
+            target_np = np.full(Bb, -np.inf, dtype=np_dtype)
+            target_np[: len(work)] = tree.best_upper_bound / (1.0 + cfg.gap)
             fin_state, out = get_shor_solver(L, M5)(
                 A_dev, mask_dev, _put(batch), sb_dev, ub_bar, state0,
-                visit_iters,
+                visit_iters, _put(jnp.asarray(target_np)),
+                _put(jnp.arange(Bb, dtype=jnp.int32)),
             )
             out = {key: np.asarray(val) for key, val in out.items()}
             t_dev_end = time.time()
@@ -963,7 +983,9 @@ def matrix_completion_branchandbound(
         solve_time_relaxation += t_relax
         solve_time_device += t_dev_end - t0
         solve_time_certify += t_relax - (t_dev_end - t0)
-        sdp_iters_total += visit_iters
+        sdp_iters_total += (
+            int(np.max(out["iters_run"])) if "iters_run" in out else visit_iters
+        )
         device_steps += 1
         new_rate = t_relax / max(visit_iters, 1)
         old_rate = iter_rate.get(skey)
@@ -1030,6 +1052,16 @@ def matrix_completion_branchandbound(
                 if obj_r <= lb_i * (1.0 + cfg.gap) or lb_i >= tree.best_upper_bound:
                     tree.closed_lb_floor = min(tree.closed_lb_floor, lb_i)
                     continue
+
+            # gap-level close (TPU-native): once a node's certified bound
+            # reaches ub/(1+gap) — exactly the on-device early-exit target —
+            # no point in its subtree can improve the incumbent by more
+            # than the target gap; close it with its bound as the floor
+            # (sound: the reported global LB never exceeds a true node LB)
+            if lb_i >= tree.best_upper_bound / (1.0 + cfg.gap):
+                tree.closed_lb_floor = min(tree.closed_lb_floor, lb_i)
+                nodes_closed_within_gap += 1
+                continue
 
             # bound refinement: requeue this node to continue from its own
             # solver state rather than splitting while (a) the solver is
@@ -1113,6 +1145,18 @@ def matrix_completion_branchandbound(
                     "node_id": node.node_id, "depth": node.depth,
                     "n_iters": int(am_iters[j]),
                 })
+                alternating_minimization_printout(
+                    printlist, node.node_id,
+                    _decayed_probability(
+                        node.depth, cfg.max_altmin_probability,
+                        cfg.min_altmin_probability,
+                        cfg.altmin_probability_decay_rate,
+                    ),
+                    bool(am_conv[j]), int(am_iters[j]), cfg.altmin_max_iters,
+                    t_alt / len(altmin_marked),
+                    [_np_objective(am_U[j] @ am_V[j], A, mask, gamma)],
+                    verbosity,
+                )
                 if am_conv[j]:
                     t_pol = time.time()
                     obj_local, X_local, U_local = _polish_incumbent(
@@ -1281,6 +1325,9 @@ def matrix_completion_branchandbound(
             "solve_time_polish": solve_time_polish,
             "sdp_iters_total": sdp_iters_total,
             "device_steps": device_steps,
+            # TPU-native: nodes closed because their certified bound reached
+            # ub/(1+gap) (kept out of the reference-parity census keys)
+            "nodes_closed_within_gap": nodes_closed_within_gap,
             "root_node_timeout": root_node_timeout,
             "nodes_explored": tree.nodes_explored,
             # TPU-native: bound-refinement re-visits (kept out of

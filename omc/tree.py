@@ -59,6 +59,10 @@ class BBNode:
     # last bound actually computed by the solver for THIS node (-inf before
     # the first visit); distinct from LB, which is monotone and inherited
     lb_solver: float = -np.inf
+    # lazily-built packed cut arrays (x (L,n), lo (L,k), hi (L,k)) — the
+    # batch packer caches them so re-visits and large frontiers copy
+    # contiguous blocks instead of looping per cut
+    packed_cuts: Optional[tuple] = None
 
 
 class BBTree:

@@ -49,3 +49,24 @@ UPDATE_HEADER = (
     "|   Explored |      Total |  Remaining |      Lower |      Upper |        Gap |    Runtime (s) |\n"
     "------------------------------------------------------------------------------------------------\n"
 )
+
+
+def alternating_minimization_printout(printlist, node_id: int,
+                                      altmin_probability: float,
+                                      converged: bool, n_iters: int,
+                                      max_iters: int, solve_time: float,
+                                      objectives, verbosity: int):
+    """Verbosity-gated per-run altmin report, format-identical to the
+    reference's ``alternating_minimization_printout`` (lines 2281-2328)."""
+    if verbosity < 2:
+        return
+    word = "converged       " if converged else "did not converge"
+    add_message(printlist, [
+        "    Altmin at node %5d (w.p. %.3f) %s in %3d / %3d iterations: %5.2f seconds.\n"
+        % (node_id, altmin_probability, word, n_iters, max_iters, solve_time)
+    ])
+    tail = list(objectives)[-6:]
+    add_message(printlist, [
+        "    Objective values:      %s\n" % ", ".join("%.4e" % o for o in tail),
+        "\n",
+    ])

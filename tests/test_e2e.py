@@ -114,3 +114,31 @@ def test_bnb_rank2_linear3_smallest2_bfdf():
         assert rd["nodes_total"] >= 1 + 16
     lowers = [r["lower"] for r in log if np.isfinite(r["lower"])]
     assert all(b >= a - 1e-9 for a, b in zip(lowers, lowers[1:]))
+
+
+def test_selective_host_certify_path(small_instance):
+    """host_certify_max_batch below the bucket forces the scale path:
+    device bounds + f64 certification of binding slots only.  The solve
+    must still certify the same optimum."""
+    A, idx = small_instance
+    sol, _, inst = matrix_completion_branchandbound(
+        1, A, idx, 80.0,
+        node_selection="bestfirst",
+        disjunctive_cuts_type="linear",
+        disjunctive_cuts_breakpoints="smallest_1_eigvec",
+        gap=1e-3, batch_size=8, sdp_iters=1500, dtype="float64",
+        time_limit=120, verbosity=0,
+        host_certify_max_batch=1,
+    )
+    assert inst["run_log"][-1]["gap"] <= 1e-3
+    sol_ref, _, _ = matrix_completion_branchandbound(
+        1, A, idx, 80.0,
+        node_selection="bestfirst",
+        disjunctive_cuts_type="linear",
+        disjunctive_cuts_breakpoints="smallest_1_eigvec",
+        gap=1e-3, batch_size=8, sdp_iters=1500, dtype="float64",
+        time_limit=120, verbosity=0,
+    )
+    assert abs(sol["objective"] - sol_ref["objective"]) <= 1e-6 * max(
+        1.0, abs(sol_ref["objective"])
+    )
