@@ -57,24 +57,33 @@ class SolverConfig:
     sdp_method: str = "admm"  # "admm" (production) | "pdhg" (reference)
     sdp_iters: int = 400  # solver iterations per relaxation super-step
     sdp_omega: float = 3.0  # PDHG primal/dual step balance
-    sdp_rho: float = 0.03  # ADMM penalty parameter
+    sdp_rho: float = 0.025  # ADMM penalty parameter
     # the McCormick relaxation (equality orthogonality rows) converges much
     # faster with a large penalty; measured sweep in tests/test_mccormick.py
     sdp_rho_mccormick: float = 10.0
-    sdp_alpha: float = 1.6  # ADMM over-relaxation
+    # ADMM over-relaxation; 1.9 measured ~15% fewer iterations-to-certify
+    # than 1.6 on the rank-1 50x50 root (sweep in round-3 notes) and stays
+    # within the relaxed-DR stability range (0, 2)
+    sdp_alpha: float = 1.9
+    # the McCormick path keeps the conservative setting it was tuned at
+    sdp_alpha_mccormick: float = 1.6
     # bound refinement: requeue a node (continuing from its own solver
     # state) instead of splitting while its bound is still behind the
     # inherited LB or still moving by more than refine_frac of the
     # remaining local gap, up to max_refines visits
     refine_frac: float = 0.25
     max_refines: int = 12
-    # rho portfolio: when the frontier underfills the batch bucket, fill
-    # the padded slots with REPLICAS of the live nodes running at these
-    # multiples of their current ADMM penalty; every replica's certified
-    # bound is valid, so the per-node max is taken (sound) and the winning
-    # replica's state/penalty carries forward — a free parallel line search
-    # on the worst ADMM hyperparameter.  () disables.  Slot 0 multiplier is
-    # implicitly 1.0 (the node's own penalty always keeps one slot).
+    # rho portfolio: on REFINEMENT visits (a node whose first solve did
+    # not close it), fill the padded batch slots with REPLICAS of the live
+    # nodes running at these multiples of their current ADMM penalty;
+    # every replica's certified bound is valid, so the per-node max is
+    # taken (sound) and the winning replica's state/penalty carries
+    # forward — a parallel line search on the worst ADMM hyperparameter.
+    # First visits run solo at the tight batch bucket: device time is
+    # ~linear in the bucket size (measured 70/129/219 us/iter at buckets
+    # 1/4/8 on 50x50), so replicas are NOT free and only pay off once the
+    # base penalty has demonstrably stalled.  () disables.  Slot 0
+    # multiplier is implicitly 1.0.
     rho_portfolio: Tuple[float, ...] = (0.25, 4.0, 0.0625)
     sdp_warm_start: bool = True  # warm-start children from parent duals
     # when the frontier underfills the batch, raise the per-visit iteration
@@ -83,8 +92,14 @@ class SolverConfig:
     sdp_iter_boost_max: int = 8
     # on-device certification cadence: inside the jitted ADMM loop the
     # safe dual bound is evaluated every this many iterations and the loop
-    # exits as soon as every live node's bound target is cleared
-    sdp_check_every: int = 2000
+    # exits as soon as every live node's bound target is cleared (by the
+    # float64-tracking estimator; the driver re-certifies in float64)
+    sdp_check_every: int = 1000
+    # dual-EMA averaging window (iterations): the certified bound is
+    # evaluated on an exponential moving average of the scaled duals,
+    # decoupled from the check cadence (measured: window 1000 certifies
+    # the 50x50 root where 4000 lags and 250 is too noisy)
+    sdp_ema_iters: int = 1000
     # anchored (Halpern / HPR-style) acceleration of the relaxed DR map;
     # opt-in experiment — O(1/k) worst-case fixed-point residual rate, but
     # MEASURED WORSE on the warm-started headline instance (anchoring pulls

@@ -37,7 +37,7 @@ import numpy as np
 
 from omc.ops.cones import project_psd, project_soc
 from omc.ops.polar import project_psd_ns
-from omc.sdp.relax import NodeBatch, safe_dual_bound
+from omc.sdp.relax import NodeBatch, safe_dual_bound2
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -248,7 +248,7 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                      alpha: float = 1.6, sX: float = 1.0, sT: float = 1.0,
                      psd_method: str = "auto", jit: bool = True,
                      adapt_rho: bool = False, check_every: int = 2000,
-                     halpern: bool = False):
+                     halpern: bool = False, ema_iters: int = 1500):
     """Build the jitted batched ADMM solver with the same interface as
     ``omc.sdp.relax.make_solver`` (state type differs).
 
@@ -427,18 +427,24 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                 X=Xs, Y=Y, Th=Ths, U=U, rho=rho_new,
             )
 
-        # Tail-averaged dual output: low-precision ADMM iterates wander
-        # around the fixed point; averaging the scaled duals over the final
-        # chunk yields a markedly steadier certified bound (the average of
-        # dual iterates is itself a perfectly valid input to the safe
-        # bound).  The run proceeds in chunks of ``check_every``
-        # iterations; when per-slot ``target`` bounds are given, the
-        # chunk-averaged duals are fed to the on-device safe bound and the
-        # loop exits once every live node group has cleared its target.
+        # EMA-averaged dual output with best-chunk tracking: low-precision
+        # ADMM iterates wander around the fixed point with a
+        # multi-thousand-iteration oscillation period (measured ~1e-3 bound
+        # swing on the 50x50 root even past 30k iterations), so (a) duals
+        # are tail-averaged with a bias-corrected EMA over ~ema_iters
+        # iterations — decoupling the averaging length from the exit
+        # cadence ``check_every`` — and (b) the duals of the BEST chunk so
+        # far (by the float64-tracking estimator) are carried as the
+        # output, so the returned bound is the trajectory's peak rather
+        # than luck-of-the-stop-point.  The average of dual iterates is
+        # itself a perfectly valid input to the safe bound.  When per-slot
+        # ``target`` bounds are given, the loop exits as soon as every
+        # live node group's best estimate clears its target.
         B = batch.cut_mask.shape[0]
         with_target = target is not None
         if group is None:
             group = jnp.arange(B, dtype=jnp.int32)
+        beta = jnp.asarray(1.0 / max(ema_iters, 1), dtype)
 
         # derive the accumulators from state fields so they inherit any
         # manual (shard_map) axis annotations
@@ -450,46 +456,69 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
             )
 
         def outer_cond(carry):
-            st, ybar, it, done = carry
+            st, ema, best, it, done = carry
             return jnp.logical_and(it < ni, ~done)
 
         def outer_body(carry):
-            st, ybar_lb, it, done = carry
+            st, ema, best, it, done = carry
             chunk = jnp.minimum(check_every, ni - it)
-            navg = jnp.maximum(1, chunk // 4)
 
             def body_acc(i, inner):
                 st_i, acc = inner
                 st_i = body(it + i, st_i)
-                w = jnp.where(i >= chunk - navg, 1.0, 0.0).astype(dtype)
                 rb3 = st_i.rho[:, None, None]
                 acc = (
-                    acc[0] + w * rb3 * st_i.u1, acc[1] + w * rb3 * st_i.u2,
-                    acc[2] + w * rb3 * st_i.ua, acc[3] + w * rb3 * st_i.ub,
-                    acc[4] + w * st_i.rho[:, None] * st_i.uc,
+                    acc[0] + beta * (rb3 * st_i.u1 - acc[0]),
+                    acc[1] + beta * (rb3 * st_i.u2 - acc[1]),
+                    acc[2] + beta * (rb3 * st_i.ua - acc[2]),
+                    acc[3] + beta * (rb3 * st_i.ub - acc[3]),
+                    acc[4] + beta * (st_i.rho[:, None] * st_i.uc - acc[4]),
                 )
                 return st_i, acc
 
-            st, acc = jax.lax.fori_loop(0, chunk, body_acc, (st, zero_acc()))
-            inv = (1.0 / navg).astype(dtype)
-            ybar = tuple(inv * a for a in acc)
-            lb = safe_dual_bound(
+            st, ema = jax.lax.fori_loop(0, chunk, body_acc, (st, ema))
+            # bias correction (the EMA starts from zero duals)
+            corr = 1.0 - (1.0 - beta) ** (it + chunk).astype(dtype)
+            inv = 1.0 / jnp.maximum(corr, beta)
+            ybar = tuple(inv * a for a in ema)
+            lb, lb_est = safe_dual_bound2(
                 jnp, A, mask, batch, ybar[0], ybar[1], ybar[2], ybar[3],
                 ybar[4], gamma, k, ub_bar,
             )
+            # per-slot best-chunk tracking by the estimator (early-exit
+            # decisions use the ESTIMATOR: it tracks the host float64
+            # bound to ~1e-2 where the margined float32 bound sits ~1e-1
+            # low and never fires; the driver re-certifies in float64
+            # before closing a node, so a rare optimistic fire costs one
+            # requeue, never soundness)
+            b_ybar, b_lb, b_est = best
+            take = lb_est > b_est
+            t3 = take[:, None, None]
+            b_ybar = (
+                jnp.where(t3, ybar[0], b_ybar[0]),
+                jnp.where(t3, ybar[1], b_ybar[1]),
+                jnp.where(t3, ybar[2], b_ybar[2]),
+                jnp.where(t3, ybar[3], b_ybar[3]),
+                jnp.where(take[:, None], ybar[4], b_ybar[4]),
+            )
+            b_lb = jnp.where(take, lb, b_lb)
+            b_est = jnp.where(take, lb_est, b_est)
             if with_target:
-                cleared = lb >= target
+                cleared = b_est >= target
                 gmax = jnp.zeros((B,), bool).at[group].max(cleared)
                 done = jnp.all(gmax[group] | cleared)
-            return st, (ybar, lb), it + chunk, done
+            return st, ema, (b_ybar, b_lb, b_est), it + chunk, done
 
         # derive lb/done inits from state leaves so they inherit the
         # shard_map "varying over nodes" annotation (a literal jnp.full /
         # jnp.asarray is replicated and trips the while_loop carry check)
         lb0 = jnp.zeros_like(state.rho) - jnp.inf
         done0 = jnp.all(state.rho == jnp.inf)  # False, but varying-typed
-        carry0 = (state, (zero_acc(), lb0), jnp.asarray(0, jnp.int32), done0)
-        state, (ybar, lb_dev), iters_run, _ = jax.lax.while_loop(
+        carry0 = (
+            state, zero_acc(), (zero_acc(), lb0, lb0),
+            jnp.asarray(0, jnp.int32), done0,
+        )
+        state, _, (ybar, lb_dev, lb_est), iters_run, _ = jax.lax.while_loop(
             outer_cond, outer_body, carry0
         )
 
@@ -504,6 +533,9 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
             # the dtype-scaled safety margin) — the driver's screening
             # bound at large batch sizes
             "lb_dev": lb_dev,
+            # float64-tracking estimator (NOT a sound bound; see
+            # safe_dual_bound2) — binding-slot selection + exit telemetry
+            "lb_est": lb_est,
             "iters_run": jnp.zeros_like(state.rho if hasattr(state, "rho") else state.core.rho, dtype=jnp.int32) + iters_run,
             "sep_w": sep_w[..., :2], "sep_V": sep_V[..., :, :2],
         }

@@ -334,6 +334,30 @@ def safe_dual_bound(xp, A, mask, batch, y1, y2, ya, yb, yc, gamma, k, ub_bar,
     beta = max(-yb, 0), lam = max(-yc, 0).  See module docstring for the
     kept-set derivation.  ``xp`` is numpy or jax.numpy.
     """
+    return safe_dual_bound2(
+        xp, A, mask, batch, y1, y2, ya, yb, yc, gamma, k, ub_bar,
+        margin_rel=margin_rel,
+    )[0]
+
+
+def safe_dual_bound2(xp, A, mask, batch, y1, y2, ya, yb, yc, gamma, k, ub_bar,
+                     margin_rel=None):
+    """``(lb_valid, lb_est)`` from one shared evaluation.
+
+    ``lb_valid`` is the margin-guarded safe bound of ``safe_dual_bound``.
+    ``lb_est`` is an *estimator* of what the float64 host evaluation of the
+    same duals would return — NOT itself a sound bound — used only for
+    on-device early-exit decisions (the driver re-certifies in float64
+    before acting on it).  It differs from the valid bound in exactly the
+    two float32-noise channels (measured on the rank-1 50x50 root, where
+    they account for ~1.6 of a ~13.4 bound while every other term agrees
+    with float64 to <1e-2):
+
+    - the unobserved-entry penalty ``-2 R_X |q|``: the true dual's q is
+      supported on observed entries, so off-support mass is device eigh
+      noise amplified by R_X * (#unobserved); the estimator drops it;
+    - the floating-point safety margin: omitted.
+    """
     n, m = A.shape[-2], A.shape[-1]
 
     def _psd(Mat):
@@ -405,7 +429,11 @@ def safe_dual_bound(xp, A, mask, batch, y1, y2, ya, yb, yc, gamma, k, ub_bar,
     R_X = xp.sqrt(2.0 * gamma * ub_bar)
     x_star = xp.clip(A + 2.0 * q, -R_X, R_X)
     obs = 0.5 * (x_star - A) ** 2 - 2.0 * q * x_star
-    x_term = xp.sum(xp.where(mask > 0, obs, -2.0 * R_X * xp.abs(q)), axis=(-2, -1))
+    x_obs_term = xp.sum(xp.where(mask > 0, obs, 0.0), axis=(-2, -1))
+    x_unobs_term = xp.sum(
+        xp.where(mask > 0, 0.0, -2.0 * R_X * xp.abs(q)), axis=(-2, -1)
+    )
+    x_term = x_obs_term + x_unobs_term
 
     # U block: linear over the box
     W_U = -2.0 * D - xp.einsum(
@@ -433,7 +461,8 @@ def safe_dual_bound(xp, A, mask, batch, y1, y2, ya, yb, yc, gamma, k, ub_bar,
         + xp.sqrt(xp.sum(S1 * S1, axis=(-2, -1)))
         + xp.sqrt(xp.sum(S2 * S2, axis=(-2, -1)))
     )
-    return lb - margin_rel * scale
+    lb_est = lb - x_unobs_term  # drop the noise-amplified off-support term
+    return lb - margin_rel * scale, lb_est
 
 
 def state_slice_to_host(state, i: int, compress=np.float32) -> list:
@@ -465,20 +494,14 @@ def host_state_slice(host_leaves: list, i: int) -> list:
     return [x[i] for x in host_leaves]
 
 
-def assemble_warm_state(template, slices):
-    """Build a batch solver state from per-node host slice lists.
-
-    ``template`` is a full-shape zero (or fallback) state of the right type;
-    slice entries override per node.  A slice may come from a solve with a
-    different cut/minor capacity: leaves whose shape differs only in the
-    leading axis are copied row-truncated/zero-padded — rows past a node's
-    real count are zero (masked), so this is lossless.  Structurally
-    incompatible slices keep the template's values.
-    """
-    leaves, treedef = jax.tree.flatten(template)
-    outs = []
-    for li, leaf in enumerate(leaves):
-        base = np.asarray(leaf).copy()
+def apply_warm_slices(base_leaves, slices):
+    """Overwrite rows of host template leaves with per-node slice lists
+    (in place).  A slice may come from a solve with a different cut/minor
+    capacity: leaves whose shape differs only in the leading axis are
+    copied row-truncated/zero-padded — rows past a node's real count are
+    zero (masked), so this is lossless.  Structurally incompatible slices
+    keep the template's values."""
+    for li, base in enumerate(base_leaves):
         tgt = base.shape[1:]  # per-node shape
         for i, sl in enumerate(slices):
             if sl is None or li >= len(sl):
@@ -492,8 +515,22 @@ def assemble_warm_state(template, slices):
                 if r < tgt[0]:
                     base[i][r:] = 0.0
             # else: incompatible leaf — keep template value
-        outs.append(jnp.asarray(base))
-    return jax.tree.unflatten(treedef, outs)
+    return base_leaves
+
+
+def assemble_warm_state(template, slices):
+    """Build a batch solver state from per-node host slice lists.
+
+    ``template`` is a full-shape zero (or fallback) state of the right
+    type; slice entries override per node (see ``apply_warm_slices``).
+    NOTE: round-trips every leaf through the host — the driver's hot path
+    instead keeps host template leaves and ships the assembled state in
+    one packed transfer (``omc.ops.transfer.put_packed``).
+    """
+    leaves, treedef = jax.tree.flatten(template)
+    base = [np.asarray(leaf).copy() for leaf in leaves]
+    apply_warm_slices(base, slices)
+    return jax.tree.unflatten(treedef, [jnp.asarray(b) for b in base])
 
 
 def host_certified_bound(A, mask, batch: NodeBatch, out: dict, gamma, k, ub_bar):

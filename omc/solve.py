@@ -66,9 +66,10 @@ from omc.sdp.shor_k import (
     pack_shor_k_batch,
     shor_k_batch_to_device,
 )
+from omc.ops.transfer import get_all, put_packed
 from omc.sdp.relax import (
     NodeBatch,
-    assemble_warm_state,
+    apply_warm_slices,
     host_certified_bound,
     host_state_slice,
     init_state,
@@ -97,10 +98,11 @@ def _l_bucket(need: int) -> int:
 
 def _b_bucket(need: int, B: int) -> int:
     """Smallest batch bucket >= need (powers of 4 up to the configured
-    batch size).  Padded slots cost the same device time and the same
-    host<->device transfer as live ones — when the frontier underfills the
-    batch (above all during root bound refinement, where ONE node is live),
-    running at the tight bucket is a ~B/need speedup per visit."""
+    batch size).  Device time is ~linear in the bucket size even at small
+    sizes (measured 70/129/219/420 us per ADMM iteration at buckets
+    1/4/8/16 on 50x50), so when the frontier underfills the batch (above
+    all during root bound refinement, where ONE node is live) running at
+    the tight bucket is a direct per-visit speedup."""
     for b in (1, 4, 16, 64, 256, 1024):
         if b >= B:
             break
@@ -155,11 +157,11 @@ def _pack_batch(nodes: List[BBNode], B: int, L: int, n: int, k: int,
             cut_lo[i, :Lc] = pc[1]
             cut_hi[i, :Lc] = pc[2]
             cut_mask[i, :Lc] = 1.0
-    return NodeBatch(
-        cut_x=jnp.asarray(cut_x), cut_lo=jnp.asarray(cut_lo),
-        cut_hi=jnp.asarray(cut_hi), cut_mask=jnp.asarray(cut_mask),
-        U_lo=jnp.asarray(U_lo), U_hi=jnp.asarray(U_hi),
-    )
+    # one packed host->device transfer for the whole batch (the TPU can
+    # sit behind a network tunnel where per-array puts are ~10s of ms)
+    return NodeBatch(*put_packed(
+        [cut_x, cut_lo, cut_hi, cut_mask, U_lo, U_hi], cut_x.dtype
+    ))
 
 
 def _np_objective(X, A, mask, gamma):
@@ -388,12 +390,15 @@ def matrix_completion_branchandbound(
         "X": X_initial,
     }
 
+    incumbent_ver = {"v": 0}
+
     def update_solution(obj, Y, U, X, t_found):
         solution["objective"] = obj
         solution["objective_time_found"] = t_found
         solution["Y"] = np.array(Y)
         solution["U"] = np.array(U)
         solution["X"] = np.array(X)
+        incumbent_ver["v"] += 1  # invalidate warm-start templates
 
     # ------------------------------------------------------------------
     # Tree initialisation (reference lines 626-698), or resume from a
@@ -598,8 +603,8 @@ def matrix_completion_branchandbound(
         if "mc" not in solvers:
             solvers["mc"] = _finalize(make_mccormick_solver(
                 n, m, k, gamma, iters=cfg.sdp_iters, dtype=dtype,
-                rho=cfg.sdp_rho_mccormick, alpha=cfg.sdp_alpha, sX=sX, sT=sT,
-                jit=False,
+                rho=cfg.sdp_rho_mccormick, alpha=cfg.sdp_alpha_mccormick,
+                sX=sX, sT=sT, jit=False,
             ))
         return solvers["mc"]
 
@@ -610,7 +615,7 @@ def matrix_completion_branchandbound(
                     n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype,
                     rho=cfg.sdp_rho, alpha=cfg.sdp_alpha, sX=sX, sT=sT,
                     jit=False, check_every=cfg.sdp_check_every,
-                    halpern=cfg.sdp_halpern,
+                    halpern=cfg.sdp_halpern, ema_iters=cfg.sdp_ema_iters,
                 ), extra_sharded=2)
             else:
                 solvers[L] = make_solver(
@@ -632,14 +637,12 @@ def matrix_completion_branchandbound(
         while len(state_cache) > state_cache_max:
             state_cache.popitem(last=False)
 
-    def _template(Bb, L, M5=None):
+    def _template(Bb, L, M5, X0, Y0, Th0, U0):
         """Fallback state: the incumbent primal (feasible for every node's
-        core cones), zero duals."""
-        U0 = solution["U"]
-        X0 = solution["X"]
-        V0 = U0.T @ X0
-        kw = dict(X0=X0[None], Y0=(U0 @ U0.T)[None],
-                  Th0=(V0.T @ V0)[None], U0=U0[None])
+        core cones), zero duals.  Called under jit (one device dispatch —
+        the ~20 eager zeros/broadcasts would each be a remote round trip
+        over a TPU tunnel)."""
+        kw = dict(X0=X0[None], Y0=Y0[None], Th0=Th0[None], U0=U0[None])
         if use_mccormick:
             return init_mc_state(
                 Bb, n, m, k, dtype=dtype, sX=sX, sT=sT,
@@ -660,6 +663,36 @@ def matrix_completion_branchandbound(
                 Bb, n, m, k, L, dtype=dtype, sX=sX, sT=sT, rho=cfg.sdp_rho, **kw
             )
         return init_state(Bb, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
+
+    # Device + host template cache: rebuilt only when the incumbent moves.
+    # The device copy serves the all-fresh case with ZERO transfers; the
+    # host leaves serve slice assembly with ONE packed transfer (over a
+    # remote-TPU tunnel, per-leaf round trips cost more than the solve).
+    template_cache: Dict[tuple, tuple] = {}
+
+    def _template_cached(Bb, L, M5=None):
+        key = (Bb, L, M5)
+        hit = template_cache.get(key)
+        if hit is not None and hit[3] == incumbent_ver["v"]:
+            return hit[0], hit[1], hit[2]
+        import jax as _jax
+
+        jit_key = ("template", key)
+        if jit_key not in solvers:
+            solvers[jit_key] = _jax.jit(
+                lambda X0, Y0, Th0, U0: _template(Bb, L, M5, X0, Y0, Th0, U0)
+            )
+        U0 = solution["U"]
+        X0 = solution["X"]
+        V0 = U0.T @ X0
+        dev = solvers[jit_key](
+            jnp.asarray(X0, dtype), jnp.asarray(U0 @ U0.T, dtype),
+            jnp.asarray(V0.T @ V0, dtype), jnp.asarray(U0, dtype),
+        )
+        leaves, treedef = _jax.tree.flatten(dev)
+        host = get_all(leaves)
+        template_cache[key] = (dev, host, treedef, incumbent_ver["v"])
+        return dev, host, treedef
 
     # Device-resident warm state: the previous super-step's final solver
     # state stays on device; when a step re-visits exactly the node set of
@@ -701,7 +734,14 @@ def matrix_completion_branchandbound(
             for nd in nodes
         ]
         slices += [None] * (Bb - len(nodes))
-        return assemble_warm_state(_template(Bb, L, M5), slices), True
+        tpl_dev, tpl_host, treedef = _template_cached(Bb, L, M5)
+        if all(sl is None for sl in slices):
+            return tpl_dev, True
+        base = [leaf.copy() for leaf in tpl_host]
+        apply_warm_slices(base, slices)
+        import jax as _jax
+
+        return _jax.tree.unflatten(treedef, put_packed(base, dtype)), True
 
     def record_solve(slot_nodes: List[BBNode], fin_state, Bb, L, M5=None,
                      best_slot=None):
@@ -808,13 +848,17 @@ def matrix_completion_branchandbound(
 
         L_need = max(1, max(len(nd.cuts) for nd in work)) if not use_mccormick else 1
         L = _l_bucket(L_need)
-        # rho portfolio (ADMM disjunctive path, single device): replicate
-        # live nodes into otherwise-padded slots at different penalties;
-        # every replica bound is valid, the per-node max is taken, and the
-        # winning replica's state carries forward (see SolverConfig)
+        # rho portfolio (ADMM disjunctive path, single device): on
+        # refinement visits, replicate live nodes into otherwise-padded
+        # slots at different penalties; every replica bound is valid, the
+        # per-node max is taken, and the winning replica's state carries
+        # forward.  First visits run solo at the tight bucket — batch
+        # slots cost ~linear device time, so replicas only pay off once
+        # the base penalty has stalled (see SolverConfig.rho_portfolio).
         use_portfolio = (
             not use_mccormick and not use_shor and cfg.sdp_method == "admm"
             and mesh is None and len(cfg.rho_portfolio) > 0
+            and all(nd.refines > 0 for nd in work)
         )
         P = 1 + len(cfg.rho_portfolio)
         if mesh is not None:
@@ -863,7 +907,7 @@ def matrix_completion_branchandbound(
             fin_state, out = get_mc_solver()(
                 A_dev, mask_dev, mc_batch, ub_bar, state0, visit_iters
             )
-            out = {key: np.asarray(val) for key, val in out.items()}
+            out = get_all(out)  # one synchronised fetch, not per-leaf
             t_dev_end = time.time()
             lbs = host_certified_bound_mc(
                 A, mask, np.asarray(batch.U_lo, np.float64),
@@ -892,7 +936,7 @@ def matrix_completion_branchandbound(
                 visit_iters, _put(jnp.asarray(target_np)),
                 _put(jnp.arange(Bb, dtype=jnp.int32)),
             )
-            out = {key: np.asarray(val) for key, val in out.items()}
+            out = get_all(out)  # one synchronised fetch, not per-leaf
             t_dev_end = time.time()
             if use_shor_k:
                 lbs = host_certified_bound_shor_k(
@@ -931,7 +975,7 @@ def matrix_completion_branchandbound(
                     _put(jnp.asarray(group_np)),
                 )
             fin_state, out = get_solver(L)(*args)
-            out = {key: np.asarray(val) for key, val in out.items()}
+            out = get_all(out)  # one synchronised fetch, not per-leaf
             t_dev_end = time.time()
             if (
                 cfg.sdp_method == "admm"
@@ -941,11 +985,15 @@ def matrix_completion_branchandbound(
                 # scale path: f64-certify only the binding slots — prune
                 # candidates, close candidates, and the lowest bounds
                 # (which drive the global LB); the rest keep the on-device
-                # margin-guarded bound
+                # margin-guarded bound.  Binding detection screens with the
+                # float64-tracking ESTIMATOR (the margined float32 bound
+                # sits too low to flag close candidates); retained bounds
+                # stay the margin-guarded valid value.
                 lb_dev = out["lb_dev"].astype(np.float64)
+                lb_scr = out.get("lb_est", out["lb_dev"]).astype(np.float64)
                 lvl = tree.best_upper_bound / (1.0 + cfg.gap)
-                binding = (lb_dev >= 0.98 * lvl)
-                order = np.argsort(lb_dev)
+                binding = (lb_scr >= 0.98 * lvl)
+                order = np.argsort(lb_scr)
                 binding[order[: min(8, Bb)]] = True
                 sel = np.where(binding)[0]
                 lbs = lb_dev.copy()
