@@ -1,4 +1,4 @@
-"""Matmul-only PSD projection via Newton-Schulz polar iteration.
+"""Matmul-only PSD projection via polynomial matrix-sign iteration.
 
 The in-loop PSD cone projections are the hot op of the ADMM solver.  On
 TPU, batched ``eigh`` runs ~40x slower than pure matmuls of the same size
@@ -7,37 +7,78 @@ production path computes
 
     proj_PSD(T) = (T + sign(T) T) / 2
 
-with ``sign(T)`` from the cubic Newton-Schulz iteration
-``S <- 1.5 S - 0.5 S^3`` on ``Z = T / ||T||_F`` — 3 batched matmuls per
-step on the MXU, no decomposition.  After ``iters`` steps every eigenvalue
-with |lambda| / ||T||_F >= ~1.5^-iters has converged sign; smaller ones
-contribute at most that relative error to the projection.  36 iterations
-give ~2e-6 relative error in float32 — below the solver's accuracy floor,
-and certification is unaffected (the safe dual bound re-projects
-multipliers exactly in float64 on host; see omc/sdp/relax.py).
+with ``sign(T)`` from an odd-polynomial iteration on ``Z = T / ||T||_F``
+— batched matmuls on the MXU, no decomposition.
+
+Schedule: 12 greedy-minimax odd *quintic* steps followed by 2 cubic
+Newton-Schulz polish steps.  Each quintic ``p(x) = a x + b x^3 + c x^5``
+was chosen (offline, Nelder-Mead per step) to maximise
+``min_{x in [l, 1]} p(x)`` subject to ``max p <= 1`` where ``[l, 1]`` is
+the previous step's output range, starting from ``l = 1e-6``.  The
+composed map sends every eigenvalue with ``|lambda| / ||T||_F >= 1e-6``
+to ``1`` within 2.4e-15 in exact arithmetic (float32 floors this at
+~1e-6); smaller eigenvalues contribute at most ~2 |lambda| relative
+error to the projection — the same guarantee as the 36-step cubic
+iteration this replaces at 43 vs 73 matmuls (quintic = 3 matmuls/step
+via S2 = S*S, S4 = S2*S2, S*(aI + b S2 + c S4); cubic = 2).
+Certification is unaffected in either case: the safe dual bound
+re-projects multipliers exactly in float64 on host (omc/sdp/relax.py).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 _HI = jax.lax.Precision.HIGHEST  # f32 accumulation on the MXU (6-pass);
 # the TPU default (bf16-grade) would floor ADMM accuracy at ~1e-2.
 
+# (a, b, c) per step; derived for l0 = 1e-6 (see module docstring).
+_SIGN_SCHEDULE = np.array([
+    (3.521451, -7.154590, 3.634029),
+    (3.406982, -6.751032, 4.344051),
+    (4.115155, -11.482394, 8.367240),
+    (3.562198, -7.405884, 3.849440),
+    (3.811135, -9.095166, 5.427381),
+    (4.202972, -12.190019, 8.987046),
+    (4.176513, -11.973807, 8.797295),
+    (4.110213, -12.007850, 8.897637),
+    (4.062958, -11.075007, 8.012057),
+    (3.454039, -6.995438, 4.470346),
+    (2.364441, -2.438842, 1.074450),
+    (2.135440, -1.778817, 0.643428),
+    (1.5, -0.5, 0.0),  # cubic NS polish
+    (1.5, -0.5, 0.0),
+])
 
-def project_psd_ns(T, iters: int = 36):
+
+def matrix_sign_poly(Z, schedule=None, dtype=None):
+    """Polynomial matrix-sign of symmetric ``Z`` with spectrum in
+    [-1, 1] (matmuls only)."""
+    coeffs = jnp.asarray(
+        _SIGN_SCHEDULE if schedule is None else schedule,
+        dtype or Z.dtype,
+    )
+
+    def body(i, S):
+        a, b, c = coeffs[i, 0], coeffs[i, 1], coeffs[i, 2]
+        S2 = jnp.matmul(S, S, precision=_HI)
+        S4 = jnp.matmul(S2, S2, precision=_HI)
+        P = a * jnp.eye(S.shape[-1], dtype=S.dtype) + b * S2 + c * S4
+        return jnp.matmul(S, P, precision=_HI)
+
+    return jax.lax.fori_loop(0, coeffs.shape[0], body, Z)
+
+
+def project_psd_ns(T, iters: int | None = None):
     """Project symmetric (..., d, d) matrices onto the PSD cone using the
-    Newton-Schulz matrix-sign iteration (matmuls only)."""
+    quintic/cubic matrix-sign schedule (matmuls only).  ``iters`` is
+    accepted for backward compatibility and ignored (the schedule has a
+    fixed length)."""
     T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
     s = jnp.sqrt(jnp.sum(T * T, axis=(-2, -1), keepdims=True)) + 1e-30
-    Z = T / s
-
-    def body(_, S):
-        S2 = jnp.matmul(S, S, precision=_HI)
-        return 1.5 * S - 0.5 * jnp.matmul(S2, S, precision=_HI)
-
-    S = jax.lax.fori_loop(0, iters, body, Z)
+    S = matrix_sign_poly(T / s)
     P = 0.5 * (T + jnp.matmul(S, T, precision=_HI))
     return 0.5 * (P + jnp.swapaxes(P, -1, -2))

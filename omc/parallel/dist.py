@@ -39,7 +39,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from omc.tree import BBNode, BBTree, DisjunctiveCut
+from omc.tree import BBNode, BBTree, DisjunctiveCut, ShorInfo
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -67,19 +67,28 @@ def init_distributed(coordinator_address: Optional[str] = None,
 # Node wire format: one node = one float64 vector
 # ---------------------------------------------------------------------------
 
-_HDR = 7  # prio_lb, LB, lb_solver, depth, master_feasible, refines, n_cuts
+_HDR = 8  # prio_lb, LB, lb_solver, depth, master_feasible, refines,
+# n_cuts, n_minors (-1 => node carries no Shor state)
 
 
-def node_wire_size(n: int, k: int, Lmax: int) -> int:
-    return _HDR + 2 * n * k + Lmax * (n + 2 * k)
+def node_wire_size(n: int, k: int, Lmax: int, Mmax: int = 0) -> int:
+    return _HDR + 2 * n * k + Lmax * (n + 2 * k) + 4 * Mmax
 
 
 def serialize_node(node: BBNode, prio_lb: float, n: int, k: int,
-                   Lmax: int) -> np.ndarray:
+                   Lmax: int, Mmax: int = 0) -> np.ndarray:
     cuts = node.cuts or []
     if len(cuts) > Lmax:
         raise ValueError(f"node has {len(cuts)} cuts > wire capacity {Lmax}")
-    vec = np.zeros(node_wire_size(n, k, Lmax))
+    minors = (
+        list(node.Shor_info.constraints_indexes)
+        if node.Shor_info is not None else None
+    )
+    if minors is not None and len(minors) > Mmax:
+        raise ValueError(
+            f"node has {len(minors)} Shor minors > wire capacity {Mmax}"
+        )
+    vec = np.zeros(node_wire_size(n, k, Lmax, Mmax))
     vec[0] = prio_lb
     vec[1] = node.LB
     vec[2] = node.lb_solver
@@ -87,6 +96,7 @@ def serialize_node(node: BBNode, prio_lb: float, n: int, k: int,
     vec[4] = 1.0 if node.master_feasible else 0.0
     vec[5] = node.refines
     vec[6] = len(cuts)
+    vec[7] = -1.0 if minors is None else float(len(minors))
     o = _HDR
     vec[o : o + n * k] = np.asarray(node.U_lower).ravel()
     o += n * k
@@ -99,13 +109,19 @@ def serialize_node(node: BBNode, prio_lb: float, n: int, k: int,
         o += k
         vec[o : o + k] = cut.code
         o += k
+    if minors:
+        o = _HDR + 2 * n * k + Lmax * (n + 2 * k)
+        flat = np.asarray(minors, dtype=np.float64).ravel()
+        vec[o : o + flat.size] = flat
     return vec
 
 
 def deserialize_node(vec: np.ndarray, n: int, k: int, Lmax: int,
-                     node_id: int) -> Tuple[float, BBNode]:
+                     node_id: int, Mmax: int = 0,
+                     m: Optional[int] = None) -> Tuple[float, BBNode]:
     prio_lb = float(vec[0])
     n_cuts = int(round(vec[6]))
+    n_minors = int(round(vec[7]))
     o = _HDR
     U_lower = vec[o : o + n * k].reshape(n, k).copy()
     o += n * k
@@ -120,11 +136,29 @@ def deserialize_node(vec: np.ndarray, n: int, k: int, Lmax: int,
         code = np.asarray(np.round(vec[o : o + k]), dtype=np.int32)
         o += k
         cuts.append(DisjunctiveCut(x=x, vhat=vhat, code=code))
+    shor_info = None
+    if n_minors >= 0:
+        # the SOC coordinate set is the deterministic complement of the
+        # active minors (reference lines 656-665), so only minors travel
+        from omc.sdp.shor import shor_soc_complement
+
+        o = _HDR + 2 * n * k + Lmax * (n + 2 * k)
+        flat = np.asarray(
+            np.round(vec[o : o + 4 * n_minors]), dtype=np.int64
+        ).reshape(n_minors, 4)
+        minors = [tuple(int(v) for v in row) for row in flat]
+        shor_info = ShorInfo(
+            constraints_indexes=minors,
+            SOC_constraints_indexes=shor_soc_complement(
+                n, m if m is not None else n, minors
+            ),
+        )
     node = BBNode(
         node_id=node_id, parent_id=0, U_lower=U_lower, U_upper=U_upper,
         LB=float(vec[1]), depth=int(round(vec[3])),
         master_feasible=bool(vec[4] > 0.5), cuts=cuts,
         refines=int(round(vec[5])), lb_solver=float(vec[2]),
+        Shor_info=shor_info,
     )
     return prio_lb, node
 
@@ -165,6 +199,7 @@ class RoundState:
     stop: bool
     counts: np.ndarray  # (P,) per-host node counts
     Lmax: int
+    Mmax: int = 0  # max Shor minor count across hosts (wire capacity)
 
 
 class DistContext:
@@ -188,16 +223,17 @@ class DistContext:
         return np.asarray(out)
 
     def sync_round(self, best_ub: float, lb_candidate: float, n_nodes: int,
-                   want_stop: bool, max_cuts: int) -> RoundState:
+                   want_stop: bool, max_cuts: int,
+                   max_minors: int = 0) -> RoundState:
         """All-gather per-host scalars; returns the fused global view.
         ``lb_candidate`` is min(queued LBs, closed floor) — +inf when the
         host's frontier imposes no constraint."""
         BIG = 1e300
         vec = np.asarray([
             best_ub, min(lb_candidate, BIG), float(n_nodes),
-            1.0 if want_stop else 0.0, float(max_cuts),
+            1.0 if want_stop else 0.0, float(max_cuts), float(max_minors),
         ])
-        g = self._allgather(vec)  # (P, 5)
+        g = self._allgather(vec)  # (P, 6)
         self.round += 1
         global_ub = float(np.min(g[:, 0]))
         lb_min = float(np.min(g[:, 1]))
@@ -208,6 +244,7 @@ class DistContext:
             global_ub=global_ub, global_lb=self._global_lb,
             total_nodes=int(counts.sum()), stop=bool(np.any(g[:, 3] > 0.5)),
             counts=counts, Lmax=int(np.max(g[:, 4])),
+            Mmax=int(np.max(g[:, 5])),
         )
 
     def should_rebalance(self, rs: RoundState) -> bool:
@@ -220,7 +257,8 @@ class DistContext:
         return bool(rs.counts.max() > 2 * max(1, rs.counts.min())
                     or rs.counts.max() > target + 8)
 
-    def rebalance(self, tree: BBTree, rs: RoundState, n: int, k: int) -> int:
+    def rebalance(self, tree: BBTree, rs: RoundState, n: int, k: int,
+                  m: Optional[int] = None) -> int:
         """All-gather surplus nodes and re-deal them round-robin in LB
         order.  Every host runs this deterministically from the same
         RoundState, so the exchange is collectively consistent.  Returns
@@ -232,12 +270,13 @@ class DistContext:
         if max_offer == 0:
             return 0
         Lmax = max(1, rs.Lmax)
-        D = node_wire_size(n, k, Lmax)
+        Mmax = rs.Mmax
+        D = node_wire_size(n, k, Lmax, Mmax)
         mine = _extract_surplus(tree, target)
         payload = np.zeros((max_offer, D))
         cnt = np.zeros((max_offer,))
         for i, (prio, node) in enumerate(mine):
-            payload[i] = serialize_node(node, prio, n, k, Lmax)
+            payload[i] = serialize_node(node, prio, n, k, Lmax, Mmax)
             cnt[i] = 1.0
         g_pay = self._allgather(payload)  # (P, max_offer, D)
         g_cnt = self._allgather(cnt)  # (P, max_offer)
@@ -254,7 +293,7 @@ class DistContext:
             if j % P == self.process_index:
                 tree.counter += 1
                 prio, node = deserialize_node(
-                    vec, n, k, Lmax, node_id=tree.counter
+                    vec, n, k, Lmax, node_id=tree.counter, Mmax=Mmax, m=m
                 )
                 received.append((prio, node))
         _insert_migrated(tree, received)

@@ -463,10 +463,6 @@ def matrix_completion_branchandbound(
     dist = None
     dist_stop = False
     if cfg.distributed:
-        if use_shor:
-            raise NotImplementedError(
-                "distributed mode does not yet migrate Shor minor state"
-            )
         from omc.parallel.dist import DistContext
 
         dist = DistContext(rebalance_every=cfg.dist_rebalance_every)
@@ -490,8 +486,17 @@ def matrix_completion_branchandbound(
         max_cuts = max(
             (len(nd.cuts or []) for nd in tree.nodes.values()), default=0
         )
+        max_minors = max(
+            (
+                len(nd.Shor_info.constraints_indexes)
+                for nd in tree.nodes.values()
+                if nd.Shor_info is not None
+            ),
+            default=0,
+        )
         rs = dist.sync_round(
-            tree.best_upper_bound, lb_candidate, len(tree), want_stop, max_cuts
+            tree.best_upper_bound, lb_candidate, len(tree), want_stop,
+            max_cuts, max_minors,
         )
         tree.best_upper_bound = min(tree.best_upper_bound, rs.global_ub)
         # the host-local monotone lower bound can exceed the true global
@@ -500,7 +505,7 @@ def matrix_completion_branchandbound(
         tree.best_lower_bound = rs.global_lb
         tree.now_gap = compute_gap(tree.best_lower_bound, tree.best_upper_bound)
         if dist.should_rebalance(rs):
-            dist.rebalance(tree, rs, n, k)
+            dist.rebalance(tree, rs, n, k, m=m)
         dist_stop = rs.stop
         return rs.stop
 

@@ -21,6 +21,7 @@ jax.config.update("jax_enable_x64", True)
 
 def main():
     coord, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "plain"
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=nproc, process_id=pid
     )
@@ -28,8 +29,7 @@ def main():
     from omc.solve import matrix_completion_branchandbound
 
     A, idx = generate_matrix_completion_data(1, 10, 10, 60, seed=2)
-    sol, _, inst = matrix_completion_branchandbound(
-        1, A, idx, 20.0,
+    kwargs = dict(
         node_selection="bestfirst",
         disjunctive_cuts_type="linear",
         disjunctive_cuts_breakpoints="smallest_1_eigvec",
@@ -37,6 +37,17 @@ def main():
         time_limit=150, verbosity=0,
         distributed=True, dist_rebalance_every=2,
     )
+    if mode == "shor":
+        # iterative Shor: minor sets grow at tree nodes and must migrate
+        # with them (omc/parallel/dist.py wire format)
+        kwargs.update(
+            add_Shor_valid_inequalities=True,
+            add_Shor_valid_inequalities_iterative=True,
+            Shor_valid_inequalities_noisy_rank1_num_entries_present=[4],
+            update_Shor_indices_n_minors=10,
+            sdp_iters=500,
+        )
+    sol, _, inst = matrix_completion_branchandbound(1, A, idx, 20.0, **kwargs)
     rd = inst["run_details"]
     print("RESULT " + json.dumps({
         "pid": pid,

@@ -82,3 +82,21 @@ def test_project_rsoc_membership():
     up, vp, xp = map(np.asarray, (up, vp, xp))
     assert (up >= -1e-9).all() and (vp >= -1e-9).all()
     assert (2 * up * vp + 1e-7 >= (xp**2).sum(-1)).all()
+
+
+def test_project_psd_ns_sign_schedule():
+    """The quintic/cubic matrix-sign schedule matches the float64 eigh
+    projection (omc/ops/polar.py): exact-arithmetic error ~1e-13, float32
+    ~1e-5 relative."""
+    from omc.ops.polar import project_psd_ns
+
+    rng = np.random.default_rng(7)
+    for scale in (1.0, 50.0, 1e-3):
+        M = rng.standard_normal((4, 60, 60)) * scale
+        M = 0.5 * (M + M.transpose(0, 2, 1))
+        w, V = np.linalg.eigh(M)
+        ref = np.einsum("bik,bk,bjk->bij", V, np.maximum(w, 0.0), V)
+        P64 = np.asarray(project_psd_ns(jnp.asarray(M, jnp.float64)))
+        np.testing.assert_allclose(P64, ref, atol=1e-10 * scale)
+        P32 = np.asarray(project_psd_ns(jnp.asarray(M, jnp.float32)), np.float64)
+        assert np.abs(P32 - ref).max() <= 1e-4 * max(np.abs(ref).max(), scale)

@@ -114,3 +114,75 @@ def test_two_process_distributed_matches_single():
         verbosity=0,
     )
     assert r0["objective"] == pytest.approx(sol1["objective"], rel=1e-6)
+
+
+def test_node_wire_roundtrip_shor():
+    from omc.sdp.shor import shor_soc_complement
+    from omc.tree import ShorInfo
+
+    rng = np.random.default_rng(1)
+    n, k, Lmax, Mmax, m = 6, 1, 2, 5, 8
+    lo, hi = root_box(n, k)
+    minors = [(0, 2, 1, 3), (1, 4, 0, 5)]
+    node = BBNode(
+        node_id=3, parent_id=1, U_lower=lo, U_upper=hi, LB=0.5, depth=1,
+        cuts=[DisjunctiveCut(
+            x=rng.standard_normal(n), vhat=rng.standard_normal(k),
+            code=np.asarray([1], np.int32),
+        )],
+        Shor_info=ShorInfo(
+            constraints_indexes=minors,
+            SOC_constraints_indexes=shor_soc_complement(n, m, minors),
+        ),
+    )
+    vec = serialize_node(node, prio_lb=0.4, n=n, k=k, Lmax=Lmax, Mmax=Mmax)
+    assert vec.shape == (node_wire_size(n, k, Lmax, Mmax),)
+    prio, back = deserialize_node(vec, n, k, Lmax, node_id=9, Mmax=Mmax, m=m)
+    assert back.Shor_info is not None
+    assert back.Shor_info.constraints_indexes == minors
+    assert back.Shor_info.SOC_constraints_indexes == shor_soc_complement(
+        n, m, minors
+    )
+    # a Shor-less node on the same wire capacity round-trips to None
+    node2 = BBNode(
+        node_id=4, parent_id=1, U_lower=lo, U_upper=hi, LB=0.5, depth=1,
+        cuts=[],
+    )
+    vec2 = serialize_node(node2, prio_lb=0.4, n=n, k=k, Lmax=Lmax, Mmax=Mmax)
+    _, back2 = deserialize_node(vec2, n, k, Lmax, node_id=10, Mmax=Mmax, m=m)
+    assert back2.Shor_info is None
+
+
+@pytest.mark.slow
+def test_two_process_distributed_shor():
+    """Distributed mode with iterative Shor minors: both hosts certify the
+    same optimum; minor state migrates with rebalanced nodes."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "dist_worker.py")
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(pid), "2", "shor"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    results = {}
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+            r = json.loads(line[len("RESULT "):])
+            results[r["pid"]] = r
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert set(results) == {0, 1}
+    r0, r1 = results[0], results[1]
+    assert r0["gap"] <= 1e-2 and r1["gap"] <= 1e-2
+    assert r0["objective"] == pytest.approx(r1["objective"], rel=1e-9)
