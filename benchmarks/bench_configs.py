@@ -125,7 +125,14 @@ def config4():
     n = m = 250
     k = 5
     L = 8
+    # one 250x250 node's ADMM state is ~4 MB (w1/u1 are (500, 500)); the
+    # BASELINE 4096-node frontier is a v5p(96 GB HBM) shape — on smaller
+    # chips the same frontier runs as sequential sub-batches of B_dev
+    # nodes (throughput is what the config measures, and the driver
+    # buckets batches the same way)
     B = int(os.environ.get("OMC_B4_BATCH", "1024"))
+    B_dev = int(os.environ.get("OMC_B4_DEV_BATCH", "128"))
+    B_dev = min(B_dev, B)
     iters = int(os.environ.get("OMC_B4_ITERS", "400"))
     gamma = 80.0
     dtype = jnp.float32
@@ -136,24 +143,24 @@ def config4():
 
     # a synthetic depth-1 frontier: every node carries one random unit-
     # vector cut (exercises the full constraint path, not just the root)
-    cut_x = rng.standard_normal((B, L, n))
+    cut_x = rng.standard_normal((B_dev, L, n))
     cut_x /= np.linalg.norm(cut_x, axis=-1, keepdims=True)
-    cut_lo = np.tile(np.array([-1.0] * k), (B, L, 1))
-    cut_hi = np.tile(np.array([0.1] * k), (B, L, 1))
-    cut_mask = np.zeros((B, L))
+    cut_lo = np.tile(np.array([-1.0] * k), (B_dev, L, 1))
+    cut_hi = np.tile(np.array([0.1] * k), (B_dev, L, 1))
+    cut_mask = np.zeros((B_dev, L))
     cut_mask[:, 0] = 1.0
     batch = NodeBatch(
         cut_x=jnp.asarray(cut_x, dtype), cut_lo=jnp.asarray(cut_lo, dtype),
         cut_hi=jnp.asarray(cut_hi, dtype), cut_mask=jnp.asarray(cut_mask, dtype),
-        U_lo=jnp.asarray(np.broadcast_to(lo, (B, n, k)), dtype),
-        U_hi=jnp.asarray(np.broadcast_to(hi, (B, n, k)), dtype),
+        U_lo=jnp.asarray(np.broadcast_to(lo, (B_dev, n, k)), dtype),
+        U_hi=jnp.asarray(np.broadcast_to(hi, (B_dev, n, k)), dtype),
     )
     ub_bar = 0.5 * float(np.sum(mask * A * A))
     solver = make_admm_solver(
         n, m, k, L, gamma, iters=iters, dtype=dtype, rho=0.03,
         sX=max(1.0, float(np.abs(A).max())), sT=1.0, check_every=iters,
     )
-    state = init_admm_state(B, n, m, k, L, dtype=dtype)
+    state = init_admm_state(B_dev, n, m, k, L, dtype=dtype)
     A_d = jnp.asarray(A, dtype)
     m_d = jnp.asarray(mask, dtype)
 
@@ -162,15 +169,20 @@ def config4():
     jax.block_until_ready(out["lb_dev"])
     compile_and_first = time.time() - t0
 
+    n_sub = (B + B_dev - 1) // B_dev
     t0 = time.time()
-    state, out = solver(A_d, m_d, batch, ub_bar, state)
-    jax.block_until_ready(out["lb_dev"])
-    step_s = time.time() - t0
+    for _ in range(n_sub):
+        state, out = solver(A_d, m_d, batch, ub_bar, state)
+        jax.block_until_ready(out["lb_dev"])
+    frontier_s = time.time() - t0
+    step_s = frontier_s / n_sub
 
-    # selective host certification of the 8 lowest + any near-binding slots
+    # selective host certification of the 8 lowest + any near-binding
+    # slots, screened by the float64-tracking estimator
     t0 = time.time()
     lb_dev = np.asarray(out["lb_dev"], np.float64)
-    sel = np.argsort(lb_dev)[:8]
+    lb_est = np.asarray(out.get("lb_est", out["lb_dev"]), np.float64)
+    sel = np.argsort(lb_est)[:8]
     sub_batch = NodeBatch(*[np.asarray(x)[sel] for x in batch])
     sub_out = {key: np.asarray(out[key])[sel]
                for key in ("y1", "y2", "ya", "yb", "yc")}
@@ -179,9 +191,10 @@ def config4():
 
     print(json.dumps({
         "metric": "config4_rank5_250x250_vmapped_frontier_throughput",
-        "value": round(B / step_s, 2), "unit": "node_relaxations_per_sec",
-        "batch": B, "iters_per_step": iters,
+        "value": round(B / frontier_s, 2), "unit": "node_relaxations_per_sec",
+        "frontier": B, "device_batch": B_dev, "iters_per_step": iters,
         "step_s": round(step_s, 3),
+        "frontier_s": round(frontier_s, 3),
         "compile_and_first_step_s": round(compile_and_first, 3),
         "selective_certify_s": round(certify_s, 3),
         "host_certified_min_lb": float(np.min(lb64)),

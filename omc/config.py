@@ -73,6 +73,10 @@ class SolverConfig:
     # remaining local gap, up to max_refines visits
     refine_frac: float = 0.25
     max_refines: int = 12
+    # stop refining a node after this many CONSECUTIVE visits whose
+    # computed bound stayed below its inherited LB (the solver is
+    # oscillating, not catching up; splitting keeps the monotone LB)
+    max_behind_refines: int = 3
     # rho portfolio: on REFINEMENT visits (a node whose first solve did
     # not close it), fill the padded batch slots with REPLICAS of the live
     # nodes running at these multiples of their current ADMM penalty;
@@ -100,6 +104,14 @@ class SolverConfig:
     # decoupled from the check cadence (measured: window 1000 certifies
     # the 50x50 root where 4000 lags and 250 is too noisy)
     sdp_ema_iters: int = 1000
+    # cap the duration of a SINGLE device solver execution: the visit
+    # budget is split across multiple calls (state stays on device)
+    # using the measured per-iteration rate.  A remote-TPU (axon) tunnel
+    # kills executions past ~1-2 minutes ("TPU worker crashed"); this
+    # also bounds how stale the driver's incumbent/termination state can
+    # get during one visit
+    sdp_max_call_seconds: float = 20.0
+    sdp_first_call_iters: int = 1000  # cap before the rate is known
     # anchored (Halpern / HPR-style) acceleration of the relaxed DR map;
     # opt-in experiment — O(1/k) worst-case fixed-point residual rate, but
     # MEASURED WORSE on the warm-started headline instance (anchoring pulls

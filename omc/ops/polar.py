@@ -82,3 +82,43 @@ def project_psd_ns(T, iters: int | None = None):
     S = matrix_sign_poly(T / s)
     P = 0.5 * (T + jnp.matmul(S, T, precision=_HI))
     return 0.5 * (P + jnp.swapaxes(P, -1, -2))
+
+
+def project_psd_ns_small(T):
+    """PSD projection for LARGE batches of TINY symmetric matrices
+    (d <= ~8), e.g. the (B, M5, 5, 5) Shor minor slots.
+
+    ``jnp.matmul`` on (32768, 5, 5) batches is catastrophic on TPU — each
+    5x5 product pads to a 128-lane MXU tile (measured 39 ms for the
+    43-matmul sign schedule at that shape, the entire Shor per-iteration
+    budget).  Here the matmul runs with the BATCH along the lanes:
+    operands transposed to (d, d, N), each of the d^2 output entries is a
+    d-term elementwise FMA over (N,)-vectors on the VPU — the d^3 = 125
+    scalar ops per matrix are fully vectorised over the batch (measured
+    ~1.5 ms for the same projection).  Same schedule, same accuracy."""
+    T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
+    shape = T.shape
+    d = shape[-1]
+    Tb = T.reshape(-1, d, d).transpose(1, 2, 0)  # (d, d, N)
+    s = jnp.sqrt(jnp.sum(Tb * Tb, axis=(0, 1), keepdims=True)) + 1e-30
+    Z = Tb / s
+    coeffs = jnp.asarray(_SIGN_SCHEDULE, T.dtype)
+
+    def mm(X, Y):
+        # explicit broadcast-multiply-reduce, NOT dot_general: XLA lowers
+        # batch-of-tiny einsums to MXU matmuls (slow, and bf16-grade
+        # accumulation diverges the sign iteration); this stays exact f32
+        # elementwise VPU work, vectorised over the lane-major batch axis
+        return jnp.sum(X[:, :, None, :] * Y[None, :, :, :], axis=1)
+
+    def body(i, S):
+        a, b, c = coeffs[i, 0], coeffs[i, 1], coeffs[i, 2]
+        S2 = mm(S, S)
+        S4 = mm(S2, S2)
+        eye = jnp.eye(d, dtype=T.dtype)[..., None]
+        return mm(S, a * eye + b * S2 + c * S4)
+
+    S = jax.lax.fori_loop(0, coeffs.shape[0], body, Z)
+    P = 0.5 * (Tb + mm(S, Tb))
+    P = 0.5 * (P + jnp.swapaxes(P, 0, 1))
+    return P.transpose(2, 0, 1).reshape(shape)

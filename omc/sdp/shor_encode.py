@@ -69,6 +69,7 @@ def pack_shor_batch(
     P1 = 2 * M5
     P2 = 2 * M5
     P3 = M5
+    assert Msoc == n * m, "canonical SOC layout requires Msoc == n*m"
     minor_idx = np.zeros((B, M5, 4), dtype=np.int32)
     minor_mask = np.zeros((B, M5), dtype=np.float64)
     iv1a = np.zeros((B, M5), dtype=np.int32)
@@ -83,6 +84,10 @@ def pack_shor_batch(
     cnt_v1 = np.zeros((B, P1))
     cnt_v2 = np.zeros((B, P2))
     cnt_v3 = np.zeros((B, P3))
+    # canonical coordinate table (same for every node): slot s = i*m + j
+    coords = np.arange(Msoc, dtype=np.int32)
+    soc_idx[:, :, 0] = coords // m
+    soc_idx[:, :, 1] = coords % m
 
     for b in range(B):
         minors = list(minors_per_node[b])
@@ -116,12 +121,17 @@ def pack_shor_batch(
             cnt_v2[b, iv2b[b, l]] += 2.0
             cnt_v3[b, iv3[b, l]] += 4.0
 
+        # CANONICAL SOC layout: slot s <-> coordinate (s // m, s % m), so
+        # the per-iteration RSOC slot map is a pure reshape (no gathers /
+        # scatters over n*m indices — measured ~5 ms/iteration at
+        # B=32, n=m=100); membership is carried by the mask alone
         socs = list(soc_per_node[b])
-        if len(socs) > Msoc:
-            raise ValueError(f"node has {len(socs)} RSOC rows > capacity {Msoc}")
-        for s, (i, j) in enumerate(socs):
-            soc_idx[b, s] = (i, j)
-            soc_mask[b, s] = 1.0
+        if Msoc != n * m:
+            raise ValueError(
+                f"canonical SOC layout requires Msoc == n*m ({n * m}); got {Msoc}"
+            )
+        for (i, j) in socs:
+            soc_mask[b, i * m + j] = 1.0
             cnt_X[b, i, j] += 1.0
             cnt_W[b, i, j] += 1.0
 

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from omc.ops.cones import project_psd, project_rsoc, project_soc
-from omc.ops.polar import project_psd_ns
+from omc.ops.polar import project_psd_ns, project_psd_ns_small
 from omc.sdp.admm import (
     _HI,
     _V_apply,
@@ -472,6 +472,9 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
     if psd_method == "auto":
         psd_method = "eigh" if dtype == jnp.float64 else "ns"
     proj = project_psd_ns if psd_method == "ns" else project_psd
+    # tiny PSD blocks (5x5 minors, (k+1)x(k+1) XWH): lane-major VPU
+    # projection — see omc.ops.polar.project_psd_ns_small
+    proj_small = project_psd_ns_small if psd_method == "ns" else project_psd
     sW = sX * sX
     kp = (k * (k - 1)) // 2
     C = 4 * M5
@@ -689,10 +692,10 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
             uc = (tc - wc) * cm
 
             t5 = relax_mix(f5, st.w5) + st.u5
-            w5 = proj(t5.reshape(B, M5 * k, 5, 5)).reshape(t5.shape)
+            w5 = proj_small(t5.reshape(B, M5 * k, 5, 5)).reshape(t5.shape)
             u5 = (t5 - w5) * m5m[..., None, None, None]
             tx = relax_mix(fx, st.wx) + st.ux
-            wxn = proj(tx)
+            wxn = proj_small(tx)
             uxn = (tx - wxn) * cdm[..., None, None]
             tr_ = relax_mix(fr, st.wr) + st.ur
             ru, rv, rx_ = project_rsoc(tr_[..., 0], tr_[..., 1], tr_[..., 2:])

@@ -322,23 +322,26 @@ def matrix_completion_branchandbound(
         [U_base] + [U_base + sc * rng.standard_normal((n, k)) for _ in range(n_runs - 1)]
     )
     root_lo, root_hi = root_box(n, k)
-    # one compiled altmin program (batch = cfg.batch_size) serves both the
-    # root multi-restart and all tree-node heuristic runs (padded)
+    # one altmin program per batch BUCKET serves the root multi-restart
+    # and all tree-node heuristic runs (padded to the tight bucket —
+    # device time is ~linear in batch size, see _b_bucket)
     B = cfg.batch_size
     altmin_fn = make_altmin(
         n, m, k, gamma, max_iters=cfg.altmin_max_iters, tol=cfg.altmin_tol, dtype=dtype
     )
-    lo_b = jnp.broadcast_to(jnp.asarray(root_lo, dtype=dtype), (B, n, k))
-    hi_b = jnp.broadcast_to(jnp.asarray(root_hi, dtype=dtype), (B, n, k))
 
     def run_altmin(U_init_batch: np.ndarray):
-        """Run altmin on up to-B initialisations, padding to the fixed
-        batch (chunking if more)."""
+        """Run altmin on the given initialisations, padding to the tight
+        batch bucket (chunking if more than cfg.batch_size)."""
         outs = []
-        for s0 in range(0, U_init_batch.shape[0], B):
+        total = U_init_batch.shape[0]
+        for s0 in range(0, total, B):
             chunk = U_init_batch[s0 : s0 + B]
-            pad = np.repeat(chunk[-1:], B - chunk.shape[0], axis=0)
+            Ba = _b_bucket(chunk.shape[0], B)
+            pad = np.repeat(chunk[-1:], Ba - chunk.shape[0], axis=0)
             full = np.concatenate([chunk, pad], axis=0)
+            lo_b = jnp.broadcast_to(jnp.asarray(root_lo, dtype=dtype), (Ba, n, k))
+            hi_b = jnp.broadcast_to(jnp.asarray(root_hi, dtype=dtype), (Ba, n, k))
             r = altmin_fn(A_dev, mask_dev, jnp.asarray(full, dtype=dtype), lo_b, hi_b)
             outs.append((np.asarray(r.U, np.float64)[: chunk.shape[0]],
                          np.asarray(r.V, np.float64)[: chunk.shape[0]],
@@ -443,6 +446,7 @@ def matrix_completion_branchandbound(
         # resumed nodes a fresh refinement budget so bounds can rebuild
         for nd in tree.nodes.values():
             nd.refines = 0
+            nd.behind_streak = 0  # also covers pre-r3 checkpoints
         solution.update(resume_payload["solution"])
         census.update(resume_payload["census"])
         run_log.extend(resume_payload["run_log"])
@@ -562,6 +566,42 @@ def matrix_completion_branchandbound(
     solvers: Dict[int, object] = {}
     iter_rate: Dict[str, float] = {}  # measured seconds per solver iteration
     iter_rate_samples: Dict[str, int] = {}
+    call_rate: Dict[tuple, float] = {}  # per-call rate for duration capping
+
+    def _chunked_call(call, state0, total_iters, rkey):
+        """Run ``call(state, n_iters) -> (state, out)`` in sub-calls whose
+        duration stays under ``cfg.sdp_max_call_seconds`` (the state stays
+        on device between sub-calls; only the tiny ``iters_run`` vector is
+        fetched to detect the on-device early exit).  Returns
+        ``(state, out, iters_done)``."""
+        st = state0
+        out = None
+        done = 0
+        while done < total_iters:
+            rate = call_rate.get(rkey)
+            if rate is None:
+                cap = min(total_iters - done, cfg.sdp_first_call_iters)
+            else:
+                cap = int(
+                    min(
+                        total_iters - done,
+                        max(500.0, cfg.sdp_max_call_seconds / rate),
+                    )
+                )
+            t0c = time.time()
+            st, out = call(st, cap)
+            ran_arr = out.get("iters_run")
+            ran = int(np.max(np.asarray(ran_arr))) if ran_arr is not None else cap
+            dtc = time.time() - t0c
+            new_r = dtc / max(ran, 1)
+            old_r = call_rate.get(rkey)
+            # the first measurement includes compile time — it only
+            # SHRINKS the cap (safe direction); smooth afterwards
+            call_rate[rkey] = new_r if old_r is None else 0.5 * old_r + 0.5 * new_r
+            done += max(ran, 1)
+            if ran < cap:  # on-device early exit fired
+                break
+        return st, out, done
 
     # ------------------------------------------------------------------
     # Device mesh (BASELINE configs 4-5): shard the node-batch axis over
@@ -886,12 +926,17 @@ def matrix_completion_branchandbound(
         batch = _pack_batch(slot_nodes, Bb, L, n, k, cfg.disjunctive_cuts_type, np_dtype)
         ub_bar = tree.best_upper_bound * (1.0 + 1e-9) + 1e-9
 
-        # padded slots cost the same device time as live ones — when the
-        # frontier underfills the batch, spend the freed budget on more
-        # iterations for the nodes that are there (root refinement, tails).
+        # When the frontier is STARVED (nothing else queued), spend the
+        # freed budget on more iterations for the nodes that are there
+        # (root refinement, tails).  When the queue holds more work,
+        # device time is better spent on fresh nodes than on deeper
+        # iterations — boost only by the slack the queue cannot fill.
         # Cap by the measured iteration rate so one visit never eats more
         # than a quarter of the remaining wall-clock budget.
-        boost = min(cfg.sdp_iter_boost_max, max(1, B // len(work)))
+        queue_slack = max(0, B - len(work) - len(tree))
+        boost = min(
+            cfg.sdp_iter_boost_max, max(1, queue_slack // max(1, len(work)))
+        )
         if not use_mccormick and not use_shor and cfg.sdp_method != "admm":
             boost = 1  # PDHG has no runtime budget argument
         visit_iters = cfg.sdp_iters * boost
@@ -909,8 +954,11 @@ def matrix_completion_branchandbound(
         if use_mccormick:
             mc_batch = _put(MCBatch(U_lo=batch.U_lo, U_hi=batch.U_hi))
             state0 = _put(warm_state(work, Bb, L)[0])
-            fin_state, out = get_mc_solver()(
-                A_dev, mask_dev, mc_batch, ub_bar, state0, visit_iters
+            fin_state, out, iters_done = _chunked_call(
+                lambda st, it: get_mc_solver()(
+                    A_dev, mask_dev, mc_batch, ub_bar, st, it
+                ),
+                state0, visit_iters, ("mc", Bb),
             )
             out = get_all(out)  # one synchronised fetch, not per-leaf
             t_dev_end = time.time()
@@ -936,10 +984,15 @@ def matrix_completion_branchandbound(
             state0 = _put(warm_state(work, Bb, L, M5)[0])
             target_np = np.full(Bb, -np.inf, dtype=np_dtype)
             target_np[: len(work)] = tree.best_upper_bound / (1.0 + cfg.gap)
-            fin_state, out = get_shor_solver(L, M5)(
-                A_dev, mask_dev, _put(batch), sb_dev, ub_bar, state0,
-                visit_iters, _put(jnp.asarray(target_np)),
-                _put(jnp.arange(Bb, dtype=jnp.int32)),
+            batch_dev = _put(batch)
+            target_dev = _put(jnp.asarray(target_np))
+            group_dev = _put(jnp.arange(Bb, dtype=jnp.int32))
+            fin_state, out, iters_done = _chunked_call(
+                lambda st, it: get_shor_solver(L, M5)(
+                    A_dev, mask_dev, batch_dev, sb_dev, ub_bar, st, it,
+                    target_dev, group_dev,
+                ),
+                state0, visit_iters, ("shor", Bb, L, M5),
             )
             out = get_all(out)  # one synchronised fetch, not per-leaf
             t_dev_end = time.time()
@@ -960,7 +1013,8 @@ def matrix_completion_branchandbound(
                     )
                 state0 = solvers["set_rho"](state0, jnp.asarray(rho_mults))
             state0 = _put(state0)
-            args = (A_dev, mask_dev, _put(batch), ub_bar, state0)
+            batch_dev = _put(batch)
+            args = (A_dev, mask_dev, batch_dev, ub_bar, state0)
             if cfg.sdp_method == "admm":
                 # on-device early exit: a slot is done when its chunk-
                 # averaged safe bound clears the level at which no further
@@ -975,11 +1029,18 @@ def matrix_completion_branchandbound(
                 target_np[:n_live] = lvl
                 if use_portfolio:
                     group_np = np.arange(Bb, dtype=np.int32) % nw
-                args = args + (
-                    visit_iters, _put(jnp.asarray(target_np)),
-                    _put(jnp.asarray(group_np)),
+                target_dev = _put(jnp.asarray(target_np))
+                group_dev = _put(jnp.asarray(group_np))
+                fin_state, out, iters_done = _chunked_call(
+                    lambda st, it: get_solver(L)(
+                        A_dev, mask_dev, batch_dev, ub_bar, st, it,
+                        target_dev, group_dev,
+                    ),
+                    state0, visit_iters, ("dc", Bb, L),
                 )
-            fin_state, out = get_solver(L)(*args)
+            else:
+                fin_state, out = get_solver(L)(*args)
+                iters_done = visit_iters
             out = get_all(out)  # one synchronised fetch, not per-leaf
             t_dev_end = time.time()
             if (
@@ -1036,11 +1097,9 @@ def matrix_completion_branchandbound(
         solve_time_relaxation += t_relax
         solve_time_device += t_dev_end - t0
         solve_time_certify += t_relax - (t_dev_end - t0)
-        sdp_iters_total += (
-            int(np.max(out["iters_run"])) if "iters_run" in out else visit_iters
-        )
+        sdp_iters_total += iters_done
         device_steps += 1
-        new_rate = t_relax / max(visit_iters, 1)
+        new_rate = t_relax / max(iters_done, 1)
         old_rate = iter_rate.get(skey)
         # first measurement includes compile time — overwrite it entirely
         # on the second, then smooth
@@ -1131,8 +1190,22 @@ def matrix_completion_branchandbound(
             baseline = prev_solver if np.isfinite(prev_solver) else lb_prev
             movement = abs(computed - baseline) if np.isfinite(baseline) else np.inf
             local_gap = max(tree.best_upper_bound - lb_i, 0.0)
+            # improving = the node's OWN solver bound moved up by a
+            # meaningful fraction of the remaining local gap this visit
+            improving = (not np.isfinite(prev_solver)) or (
+                computed > prev_solver + 0.02 * local_gap
+            )
+            node.behind_streak = (
+                node.behind_streak + 1 if (behind and not improving) else 0
+            )
+            # a persistent non-improving behind-streak means the solver
+            # oscillates below the inherited bound without catching up
+            # (measured 12 wasted 16k-iteration visits per child on the
+            # 100x100 Shor instance) — stop refining and split; the
+            # monotone LB keeps the parent's bound either way
             if (
                 node.refines < cfg.max_refines
+                and node.behind_streak < cfg.max_behind_refines
                 and (behind or movement > cfg.refine_frac * local_gap)
             ):
                 node.refines += 1

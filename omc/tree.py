@@ -56,6 +56,11 @@ class BBNode:
     cuts: Optional[List[DisjunctiveCut]] = None  # None => McCormick path
     Shor_info: Optional[ShorInfo] = None
     refines: int = 0  # bound-refinement visits (TPU-native, see BBTree.requeue)
+    # consecutive visits whose computed bound stayed BELOW the inherited
+    # LB: refinement is only worth continuing while the solver is still
+    # catching up; a persistent streak means the oscillating dual never
+    # cleanly surpasses the parent and the node should just split
+    behind_streak: int = 0
     # last bound actually computed by the solver for THIS node (-inf before
     # the first visit); distinct from LB, which is monotone and inherited
     lb_solver: float = -np.inf
