@@ -111,7 +111,7 @@ class SolverConfig:
     # also bounds how stale the driver's incumbent/termination state can
     # get during one visit
     sdp_max_call_seconds: float = 20.0
-    sdp_first_call_iters: int = 1000  # cap before the rate is known
+    sdp_first_call_iters: int = 2000  # cap before the rate is known
     # anchored (Halpern / HPR-style) acceleration of the relaxed DR map;
     # opt-in experiment — O(1/k) worst-case fixed-point residual rate, but
     # MEASURED WORSE on the warm-started headline instance (anchoring pulls

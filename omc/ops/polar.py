@@ -56,20 +56,25 @@ _SIGN_SCHEDULE = np.array([
 
 def matrix_sign_poly(Z, schedule=None, dtype=None):
     """Polynomial matrix-sign of symmetric ``Z`` with spectrum in
-    [-1, 1] (matmuls only)."""
-    coeffs = jnp.asarray(
-        _SIGN_SCHEDULE if schedule is None else schedule,
-        dtype or Z.dtype,
-    )
+    [-1, 1] (matmuls only).
 
-    def body(i, S):
-        a, b, c = coeffs[i, 0], coeffs[i, 1], coeffs[i, 2]
+    Statically unrolled with python-scalar coefficients (no coefficient
+    gathers, no identity materialisation): at the solver's tiny batch
+    sizes the in-program cost is op-count-bound, so each step is exactly
+    ``a S + S (b S^2 + c S^4)`` — 3 matmuls + 2 scalar combines (cubic
+    steps with c = 0 skip the S^4 product)."""
+    sched = _SIGN_SCHEDULE if schedule is None else schedule
+    S = Z
+    for a, b, c in np.asarray(sched):
         S2 = jnp.matmul(S, S, precision=_HI)
-        S4 = jnp.matmul(S2, S2, precision=_HI)
-        P = a * jnp.eye(S.shape[-1], dtype=S.dtype) + b * S2 + c * S4
-        return jnp.matmul(S, P, precision=_HI)
-
-    return jax.lax.fori_loop(0, coeffs.shape[0], body, Z)
+        if c == 0.0:
+            S = float(a) * S + float(b) * jnp.matmul(S, S2, precision=_HI)
+        else:
+            S4 = jnp.matmul(S2, S2, precision=_HI)
+            S = float(a) * S + jnp.matmul(
+                S, float(b) * S2 + float(c) * S4, precision=_HI
+            )
+    return S
 
 
 def project_psd_ns(T, iters: int | None = None):
@@ -102,7 +107,6 @@ def project_psd_ns_small(T):
     Tb = T.reshape(-1, d, d).transpose(1, 2, 0)  # (d, d, N)
     s = jnp.sqrt(jnp.sum(Tb * Tb, axis=(0, 1), keepdims=True)) + 1e-30
     Z = Tb / s
-    coeffs = jnp.asarray(_SIGN_SCHEDULE, T.dtype)
 
     def mm(X, Y):
         # explicit broadcast-multiply-reduce, NOT dot_general: XLA lowers
@@ -111,14 +115,13 @@ def project_psd_ns_small(T):
         # elementwise VPU work, vectorised over the lane-major batch axis
         return jnp.sum(X[:, :, None, :] * Y[None, :, :, :], axis=1)
 
-    def body(i, S):
-        a, b, c = coeffs[i, 0], coeffs[i, 1], coeffs[i, 2]
+    S = Z
+    for a, b, c in np.asarray(_SIGN_SCHEDULE):
         S2 = mm(S, S)
-        S4 = mm(S2, S2)
-        eye = jnp.eye(d, dtype=T.dtype)[..., None]
-        return mm(S, a * eye + b * S2 + c * S4)
-
-    S = jax.lax.fori_loop(0, coeffs.shape[0], body, Z)
+        if c == 0.0:
+            S = float(a) * S + float(b) * mm(S, S2)
+        else:
+            S = float(a) * S + mm(S, float(b) * S2 + float(c) * mm(S2, S2))
     P = 0.5 * (Tb + mm(S, Tb))
     P = 0.5 * (P + jnp.swapaxes(P, 0, 1))
     return P.transpose(2, 0, 1).reshape(shape)

@@ -88,6 +88,21 @@ from omc.utils.logging import (
 
 _L_BUCKETS = (8, 32, 128, 512, 2048)
 
+# Cross-invocation cache of jitted programs (single-device only; mesh
+# closures capture Mesh objects).  Re-building a jit wrapper per driver
+# call costs a full python re-trace plus XLA-cache lookups — several
+# hundred ms per invocation even when every executable is already
+# compiled (it shows up directly in time-to-gap on warm production runs).
+_GLOBAL_PROGRAMS: Dict[tuple, object] = {}
+
+
+def _memo_program(key, build):
+    fn = _GLOBAL_PROGRAMS.get(key)
+    if fn is None:
+        fn = build()
+        _GLOBAL_PROGRAMS[key] = fn
+    return fn
+
 
 def _l_bucket(need: int) -> int:
     for b in _L_BUCKETS:
@@ -326,8 +341,13 @@ def matrix_completion_branchandbound(
     # and all tree-node heuristic runs (padded to the tight bucket —
     # device time is ~linear in batch size, see _b_bucket)
     B = cfg.batch_size
-    altmin_fn = make_altmin(
-        n, m, k, gamma, max_iters=cfg.altmin_max_iters, tol=cfg.altmin_tol, dtype=dtype
+    altmin_fn = _memo_program(
+        ("altmin", n, m, k, gamma, cfg.altmin_max_iters, cfg.altmin_tol,
+         cfg.dtype),
+        lambda: make_altmin(
+            n, m, k, gamma, max_iters=cfg.altmin_max_iters,
+            tol=cfg.altmin_tol, dtype=dtype,
+        ),
     )
 
     def run_altmin(U_init_batch: np.ndarray):
@@ -646,27 +666,47 @@ def matrix_completion_branchandbound(
 
     def get_mc_solver():
         if "mc" not in solvers:
-            solvers["mc"] = _finalize(make_mccormick_solver(
-                n, m, k, gamma, iters=cfg.sdp_iters, dtype=dtype,
-                rho=cfg.sdp_rho_mccormick, alpha=cfg.sdp_alpha_mccormick,
-                sX=sX, sT=sT, jit=False,
-            ))
+            def build():
+                return _finalize(make_mccormick_solver(
+                    n, m, k, gamma, iters=cfg.sdp_iters, dtype=dtype,
+                    rho=cfg.sdp_rho_mccormick, alpha=cfg.sdp_alpha_mccormick,
+                    sX=sX, sT=sT, jit=False,
+                ))
+
+            if mesh is None:
+                key = ("mc", n, m, k, gamma, cfg.sdp_iters, cfg.dtype,
+                       cfg.sdp_rho_mccormick, cfg.sdp_alpha_mccormick, sX, sT)
+                solvers["mc"] = _memo_program(key, build)
+            else:
+                solvers["mc"] = build()
         return solvers["mc"]
 
     def get_solver(L):
         if L not in solvers:
             if cfg.sdp_method == "admm":
-                solvers[L] = _finalize(make_admm_solver(
-                    n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype,
-                    rho=cfg.sdp_rho, alpha=cfg.sdp_alpha, sX=sX, sT=sT,
-                    jit=False, check_every=cfg.sdp_check_every,
-                    halpern=cfg.sdp_halpern, ema_iters=cfg.sdp_ema_iters,
-                ), extra_sharded=2)
+                def build():
+                    return _finalize(make_admm_solver(
+                        n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype,
+                        rho=cfg.sdp_rho, alpha=cfg.sdp_alpha, sX=sX, sT=sT,
+                        jit=False, check_every=cfg.sdp_check_every,
+                        halpern=cfg.sdp_halpern, ema_iters=cfg.sdp_ema_iters,
+                    ), extra_sharded=2)
+
+                if mesh is None:
+                    key = ("dc", n, m, k, L, gamma, cfg.sdp_iters, cfg.dtype,
+                           cfg.sdp_rho, cfg.sdp_alpha, sX, sT,
+                           cfg.sdp_check_every, cfg.sdp_halpern,
+                           cfg.sdp_ema_iters)
+                    solvers[L] = _memo_program(key, build)
+                else:
+                    solvers[L] = build()
             else:
-                solvers[L] = make_solver(
+                key = ("pdhg", n, m, k, L, gamma, cfg.sdp_iters, cfg.dtype,
+                       cfg.sdp_omega, sX, sT)
+                solvers[L] = _memo_program(key, lambda: make_solver(
                     n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype,
                     omega=cfg.sdp_omega, sX=sX, sT=sT,
-                )
+                ))
         return solvers[L]
 
     # Warm-start cache: node_id -> compressed host solver-state slice.  A
@@ -724,9 +764,12 @@ def matrix_completion_branchandbound(
 
         jit_key = ("template", key)
         if jit_key not in solvers:
-            solvers[jit_key] = _jax.jit(
+            gkey = ("template", Bb, L, M5, n, m, k, cfg.dtype, sX, sT,
+                    use_mccormick, use_shor, use_shor_k, cfg.sdp_method,
+                    cfg.sdp_rho, cfg.sdp_rho_mccormick)
+            solvers[jit_key] = _memo_program(gkey, lambda: _jax.jit(
                 lambda X0, Y0, Th0, U0: _template(Bb, L, M5, X0, Y0, Th0, U0)
-            )
+            ))
         U0 = solution["U"]
         X0 = solution["X"]
         V0 = U0.T @ X0
@@ -735,7 +778,16 @@ def matrix_completion_branchandbound(
             jnp.asarray(V0.T @ V0, dtype), jnp.asarray(U0, dtype),
         )
         leaves, treedef = _jax.tree.flatten(dev)
-        host = get_all(leaves)
+        # host leaves are only needed for warm-slice assembly — fetch
+        # lazily (the all-fresh fast path, e.g. the root visit, never
+        # pays the device->host round trip)
+        host_box = {"h": None}
+
+        def host():
+            if host_box["h"] is None:
+                host_box["h"] = get_all(leaves)
+            return host_box["h"]
+
         template_cache[key] = (dev, host, treedef, incumbent_ver["v"])
         return dev, host, treedef
 
@@ -782,7 +834,7 @@ def matrix_completion_branchandbound(
         tpl_dev, tpl_host, treedef = _template_cached(Bb, L, M5)
         if all(sl is None for sl in slices):
             return tpl_dev, True
-        base = [leaf.copy() for leaf in tpl_host]
+        base = [leaf.copy() for leaf in tpl_host()]
         apply_warm_slices(base, slices)
         import jax as _jax
 
@@ -813,24 +865,34 @@ def matrix_completion_branchandbound(
     def get_shor_solver(L, M5):
         key = ("shor", L, M5)
         if key not in solvers:
-            if use_shor_k:
-                raw = make_shor_k_solver(
-                    n, m, k, L, M5, n * m, gamma, iters=cfg.sdp_iters,
-                    dtype=dtype, sX=sX, sT=sT, jit=False,
-                )
-            else:
-                raw = make_shor_solver(
-                    n, m, L, M5, n * m, gamma, iters=cfg.sdp_iters, dtype=dtype,
-                    sX=sX, sT=sT, jit=False,
-                )
-            if mesh is not None:
-                from omc.parallel.mesh import shard_solver_shor
+            def build():
+                if use_shor_k:
+                    raw = make_shor_k_solver(
+                        n, m, k, L, M5, n * m, gamma, iters=cfg.sdp_iters,
+                        dtype=dtype, sX=sX, sT=sT, jit=False,
+                    )
+                else:
+                    raw = make_shor_solver(
+                        n, m, L, M5, n * m, gamma, iters=cfg.sdp_iters,
+                        dtype=dtype, sX=sX, sT=sT, jit=False,
+                        check_every=cfg.sdp_check_every,
+                        ema_iters=cfg.sdp_ema_iters,
+                    )
+                if mesh is not None:
+                    from omc.parallel.mesh import shard_solver_shor
 
-                solvers[key] = shard_solver_shor(mesh, raw)
-            else:
+                    return shard_solver_shor(mesh, raw)
                 import jax as _jax
 
-                solvers[key] = _jax.jit(raw)
+                return _jax.jit(raw)
+
+            if mesh is None:
+                gkey = ("shor", use_shor_k, n, m, k, L, M5, gamma,
+                        cfg.sdp_iters, cfg.dtype, sX, sT,
+                        cfg.sdp_check_every, cfg.sdp_ema_iters)
+                solvers[key] = _memo_program(gkey, build)
+            else:
+                solvers[key] = build()
         return solvers[key]
 
     # ------------------------------------------------------------------
