@@ -83,10 +83,12 @@ def main():
     nodes_per_sec = rd["nodes_explored"] / max(elapsed, 1e-9)
     reached = final_gap <= gap
 
-    # device/host phase split + an MFU estimate for the ADMM iteration's
-    # dominant kernels (three batched symmetric eigendecompositions per
-    # iteration at ~9 d^3 flops each — a deliberately rough, clearly-labeled
-    # lower-bound estimate; the point is trend tracking, not accounting)
+    # device/host phase split + an MFU-style proxy for the ADMM
+    # iteration's dominant kernels (three PSD projections per iteration,
+    # counted at eigh-equivalent ~9 d^3 flops each regardless of the
+    # actual matmul-only sign-schedule implementation — a deliberately
+    # rough, clearly-labeled proxy; the point is trend tracking across
+    # rounds, not accounting)
     dev_s = float(rd.get("solve_time_device", 0.0))
     iters_tot = int(rd.get("sdp_iters_total", 0))
     d1, d2, d3 = (n + n), (n + k), n  # eigh sizes: (n+m), (n+k), (n)

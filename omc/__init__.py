@@ -25,6 +25,12 @@ from omc.data import (
 )
 from omc.config import SolverConfig
 from omc.tree import BBNode, BBTree, DisjunctiveCut, ShorInfo
+
+# exact-name aliases for the reference's exported node-state types
+# (`src/OptimalMatrixCompletion.jl:30-31`); the native names describe one
+# cut / one Shor record rather than the reference's whole-list containers
+BBNodeDisjunctiveCuts = DisjunctiveCut
+BBNodeShorInfo = ShorInfo
 from omc.solve import matrix_completion_branchandbound
 from omc.api import alternating_minimization, matrix_completion_SDP_relaxation
 from omc.sdp.shor import generate_rank1_matrix_completion_Shor_constraints_indexes
@@ -41,6 +47,8 @@ __all__ = [
     "BBTree",
     "DisjunctiveCut",
     "ShorInfo",
+    "BBNodeDisjunctiveCuts",
+    "BBNodeShorInfo",
     "generate_matrix_completion_data",
     "generate_masked_bitmatrix",
     "generate_sparse_masked_bitmatrix",

@@ -89,6 +89,31 @@ def project_psd_ns(T, iters: int | None = None):
     return 0.5 * (P + jnp.swapaxes(P, -1, -2))
 
 
+def project_psd_ns_merged(mats):
+    """Project several batches of symmetric matrices of DIFFERENT sizes in
+    ONE padded sign-schedule run.
+
+    ``mats``: list of (B, d_i, d_i) arrays.  Each is zero-embedded into a
+    (B, len(mats), D, D) block (D = max d_i; ``proj(blockdiag(T, 0)) =
+    blockdiag(proj(T), 0)``, so padding is exact), the schedule runs once
+    on the merged (B*len, D, D) batch, and the blocks are sliced back.
+
+    Why: the solver's per-iteration projections (e.g. (n+m)^2, (n+k)^2,
+    n^2) are each a ~43-matmul SERIAL chain; at small batch sizes the
+    iteration is latency-bound on chain depth, so merging three chains
+    into one (at ~2x padded flops) is a direct win.
+    """
+    B = mats[0].shape[0]
+    D = max(t.shape[-1] for t in mats)
+    G = len(mats)
+    Tm = jnp.zeros((B, G, D, D), dtype=mats[0].dtype)
+    for g, t in enumerate(mats):
+        d = t.shape[-1]
+        Tm = Tm.at[:, g, :d, :d].set(t)
+    P = project_psd_ns(Tm.reshape(B * G, D, D)).reshape(B, G, D, D)
+    return [P[:, g, : t.shape[-1], : t.shape[-1]] for g, t in enumerate(mats)]
+
+
 def project_psd_ns_small(T):
     """PSD projection for LARGE batches of TINY symmetric matrices
     (d <= ~8), e.g. the (B, M5, 5, 5) Shor minor slots.

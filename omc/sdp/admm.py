@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from omc.ops.cones import project_psd, project_soc
-from omc.ops.polar import project_psd_ns
+from omc.ops.polar import project_psd_ns, project_psd_ns_merged
 from omc.sdp.relax import NodeBatch, safe_dual_bound2
 
 _HI = jax.lax.Precision.HIGHEST
@@ -281,6 +281,9 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
         mask = mask.astype(dtype)
         B = batch.cut_mask.shape[0]
         cm = batch.cut_mask
+        # static merge decision (see the w-step): latency-bound iff the
+        # per-matmul work is below ~the launch-latency x MXU-rate product
+        merge_psd = psd_method == "ns" and B * (n + m) ** 3 <= int(1e8)
 
         G1 = _gram1(batch, k, dtype)
         G1c = jax.lax.linalg.cholesky(G1)
@@ -364,13 +367,20 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                     return t
 
             t1 = hal(relax_mix(f[0], st.w1) + st.u1, anchors[0] if halpern else None)
-            w1 = proj(t1)
-            u1 = t1 - w1
             t2 = hal(relax_mix(f[1], st.w2) + st.u2, anchors[1] if halpern else None)
-            w2 = proj(t2)
-            u2 = t2 - w2
             t3 = hal(relax_mix(f[2], st.w3) + st.u3, anchors[2] if halpern else None)
-            w3 = proj(t3)
+            if merge_psd:
+                # one merged sign-schedule run for all three PSD blocks: a
+                # third of the serial matmul chain for ~2x padded flops.
+                # Wins when the iteration is LATENCY-bound (small batch x
+                # block size); at large B*(n+m)^3 the matmuls are
+                # flop-bound and padding to the largest block wastes
+                # real throughput, so the blocks project separately
+                w1, w2, w3 = project_psd_ns_merged([t1, t2, t3])
+            else:
+                w1, w2, w3 = proj(t1), proj(t2), proj(t3)
+            u1 = t1 - w1
+            u2 = t2 - w2
             u3 = t3 - w3
             t4 = hal(relax_mix(f[3], st.w4) + st.u4, anchors[3] if halpern else None)
             w4 = jnp.maximum(t4, 0.0)

@@ -826,10 +826,13 @@ def matrix_completion_branchandbound(
         ):
             _flush_last_solve()
         # own state (refinement visits) takes precedence over the parent's
-        slices = [
-            state_cache.get(nd.node_id) or state_cache.get(nd.parent_id)
-            for nd in nodes
-        ]
+        if cfg.sdp_warm_start:
+            slices = [
+                state_cache.get(nd.node_id) or state_cache.get(nd.parent_id)
+                for nd in nodes
+            ]
+        else:
+            slices = [None] * len(nodes)
         slices += [None] * (Bb - len(nodes))
         tpl_dev, tpl_host, treedef = _template_cached(Bb, L, M5)
         if all(sl is None for sl in slices):

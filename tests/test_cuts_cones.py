@@ -100,3 +100,19 @@ def test_project_psd_ns_sign_schedule():
         np.testing.assert_allclose(P64, ref, atol=1e-10 * scale)
         P32 = np.asarray(project_psd_ns(jnp.asarray(M, jnp.float32)), np.float64)
         assert np.abs(P32 - ref).max() <= 1e-4 * max(np.abs(ref).max(), scale)
+
+
+def test_put_packed_roundtrip():
+    from omc.ops.transfer import get_all, put_packed
+
+    rng = np.random.default_rng(3)
+    arrays = [
+        rng.standard_normal((4, 3, 2)),
+        rng.standard_normal((7,)),
+        np.zeros((2, 2)),
+    ]
+    devs = put_packed(arrays, jnp.float32)
+    assert [tuple(d.shape) for d in devs] == [(4, 3, 2), (7,), (2, 2)]
+    back = get_all(devs)
+    for a, b in zip(arrays, back):
+        np.testing.assert_allclose(b, a.astype(np.float32), rtol=1e-6)
