@@ -53,7 +53,7 @@ from omc.sdp.admm import (
     ADMMState as ADMMStateCore,
     init_admm_state,
 )
-from omc.sdp.relax import NodeBatch
+from omc.sdp.relax import NodeBatch, margin_rel_default
 
 
 # ---------------------------------------------------------------------------
@@ -461,12 +461,23 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
                        gamma: float, *, iters: int = 400,
                        dtype=jnp.float32, alpha: float = 1.6,
                        sX: float = 1.0, sT: float = 1.0,
-                       psd_method: str = "auto", jit: bool = True):
+                       psd_method: str = "auto", jit: bool = True,
+                       check_every: int = 2000, ema_iters: int = 1500):
     """Batched ADMM solver for the rank-k (k > 1) Shor relaxation.
 
     solve(A, mask, batch, sb, ub_bar, state) -> (state, out); ``out``
     carries the unscaled primal (X = sum_t Xt, Xt, W, Y, Th, U), dual
     blocks for certification, and the separation eigenpairs.
+
+    ``check_every`` / ``target`` / ``group`` give the same on-device
+    safe-bound certification early exit as the k = 1 solvers
+    (``omc.sdp.admm`` / ``omc.sdp.admm_shor``): duals are tail-averaged
+    with a bias-corrected EMA over ~``ema_iters`` iterations, the
+    backend-agnostic safe bound is evaluated on device every
+    ``check_every`` iterations, the best chunk's duals (by the
+    float64-tracking estimator) are carried as the output, and the loop
+    exits as soon as every live node group's best estimate clears its
+    target.
     """
     assert k >= 2
     if psd_method == "auto":
@@ -481,10 +492,6 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
 
     def solve(A, mask, batch: NodeBatch, sb: ShorKBatch, ub_bar,
               state: ShorKState, n_iters=None, target=None, group=None):
-        # target/group accepted for signature parity with the k=1 Shor
-        # solver; the k>1 on-device bound (and with it early exit) is not
-        # implemented yet — the loop runs the full budget
-        del target, group
         ni = jnp.asarray(iters if n_iters is None else n_iters, jnp.int32)
         A = A.astype(dtype)
         mask = mask.astype(dtype)
@@ -727,48 +734,114 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
                 wwl=wwl, uwl=uwl, wp=wp, up=up, wq=wq, uq=uq,
             )
 
-        navg = jnp.maximum(1, ni // 4)
+        # chunked run with EMA-averaged duals, best-chunk tracking, and
+        # estimator-based certification early exit — the same discipline
+        # as the k = 1 solvers (omc.sdp.admm / omc.sdp.admm_shor)
+        with_target = target is not None
+        if group is None:
+            group = jnp.arange(B, dtype=jnp.int32)
+        beta = jnp.asarray(1.0 / max(ema_iters, 1), dtype)
 
-        def body_acc(it, carry):
-            st, acc = carry
-            st = body(it, st)
-            take = (it >= ni - navg)
-            w = jnp.where(take, 1.0, 0.0).astype(dtype)
-            rb = st.core.rho
-            rb3 = rb[:, None, None]
-            acc = (
-                acc[0] + w * rb3 * st.core.u1, acc[1] + w * rb3 * st.core.u2,
-                acc[2] + w * rb3 * st.core.ua, acc[3] + w * rb3 * st.core.ub,
-                acc[4] + w * rb[:, None] * st.core.uc,
-                acc[5] + w * rb[:, None, None, None, None] * st.u5,
-                acc[6] + w * rb[:, None, None, None] * st.ux,
-                acc[7] + w * rb3 * st.ur,
-                acc[8] + w * rb[:, None] * st.ul,
-                acc[9] + w * rb[:, None] * st.uwl,
+        def zero_acc():
+            return (
+                jnp.zeros_like(state.core.u1), jnp.zeros_like(state.core.u2),
+                jnp.zeros_like(state.core.ua), jnp.zeros_like(state.core.ub),
+                jnp.zeros_like(state.core.uc), jnp.zeros_like(state.u5),
+                jnp.zeros_like(state.ux), jnp.zeros_like(state.ur),
+                jnp.zeros_like(state.ul), jnp.zeros_like(state.uwl),
             )
-            return st, acc
 
-        acc0 = (
-            jnp.zeros_like(state.core.u1), jnp.zeros_like(state.core.u2),
-            jnp.zeros_like(state.core.ua), jnp.zeros_like(state.core.ub),
-            jnp.zeros_like(state.core.uc), jnp.zeros_like(state.u5),
-            jnp.zeros_like(state.ux), jnp.zeros_like(state.ur),
-            jnp.zeros_like(state.ul), jnp.zeros_like(state.uwl),
+        def outer_cond(carry):
+            st, ema, best, it, done = carry
+            return jnp.logical_and(it < ni, ~done)
+
+        def outer_body(carry):
+            st, ema, best, it, done = carry
+            chunk = jnp.minimum(check_every, ni - it)
+
+            def body_acc(i, inner):
+                st_i, acc = inner
+                st_i = body(it + i, st_i)
+                rb = st_i.core.rho
+                rb3 = rb[:, None, None]
+                acc = (
+                    acc[0] + beta * (rb3 * st_i.core.u1 - acc[0]),
+                    acc[1] + beta * (rb3 * st_i.core.u2 - acc[1]),
+                    acc[2] + beta * (rb3 * st_i.core.ua - acc[2]),
+                    acc[3] + beta * (rb3 * st_i.core.ub - acc[3]),
+                    acc[4] + beta * (rb[:, None] * st_i.core.uc - acc[4]),
+                    acc[5] + beta * (
+                        rb[:, None, None, None, None] * st_i.u5 - acc[5]
+                    ),
+                    acc[6] + beta * (
+                        rb[:, None, None, None] * st_i.ux - acc[6]
+                    ),
+                    acc[7] + beta * (rb3 * st_i.ur - acc[7]),
+                    acc[8] + beta * (rb[:, None] * st_i.ul - acc[8]),
+                    acc[9] + beta * (rb[:, None] * st_i.uwl - acc[9]),
+                )
+                return st_i, acc
+
+            st, ema = jax.lax.fori_loop(0, chunk, body_acc, (st, ema))
+            corr = 1.0 - (1.0 - beta) ** (it + chunk).astype(dtype)
+            inv = 1.0 / jnp.maximum(corr, beta)
+            ybar = tuple(inv * a for a in ema)
+            lb, lb_est = safe_dual_bound_shor_k2(
+                jnp, A, mask, batch, sb, ybar[0], ybar[1], ybar[2], ybar[3],
+                ybar[4], ybar[5], ybar[6], ybar[7], ybar[8], ybar[9],
+                gamma, k, ub_bar,
+            )
+            b_ybar, b_lb, b_est = best
+            take = lb_est > b_est
+            t2 = take[:, None]
+            t3 = take[:, None, None]
+            t4 = take[:, None, None, None]
+            t5 = take[:, None, None, None, None]
+            b_ybar = (
+                jnp.where(t3, ybar[0], b_ybar[0]),
+                jnp.where(t3, ybar[1], b_ybar[1]),
+                jnp.where(t3, ybar[2], b_ybar[2]),
+                jnp.where(t3, ybar[3], b_ybar[3]),
+                jnp.where(t2, ybar[4], b_ybar[4]),
+                jnp.where(t5, ybar[5], b_ybar[5]),
+                jnp.where(t4, ybar[6], b_ybar[6]),
+                jnp.where(t3, ybar[7], b_ybar[7]),
+                jnp.where(t2, ybar[8], b_ybar[8]),
+                jnp.where(t2, ybar[9], b_ybar[9]),
+            )
+            b_lb = jnp.where(take, lb, b_lb)
+            b_est = jnp.where(take, lb_est, b_est)
+            if with_target:
+                cleared = b_est >= target
+                gmax = jnp.zeros((B,), bool).at[group].max(cleared)
+                done = jnp.all(gmax[group] | cleared)
+            return st, ema, (b_ybar, b_lb, b_est), it + chunk, done
+
+        lb0 = jnp.zeros_like(state.core.rho) - jnp.inf
+        done0 = jnp.all(state.core.rho == jnp.inf)  # False, varying-typed
+        carry0 = (
+            state, zero_acc(), (zero_acc(), lb0, lb0),
+            jnp.asarray(0, jnp.int32), done0,
         )
-        state, acc = jax.lax.fori_loop(0, ni, body_acc, (state, acc0))
+        state, _, (ybar, lb_dev, lb_est), iters_run, _ = jax.lax.while_loop(
+            outer_cond, outer_body, carry0
+        )
 
         c0 = state.core
         Msep = jnp.einsum("bik,bjk->bij", c0.U, c0.U) - c0.Y
         Msep = 0.5 * (Msep + jnp.swapaxes(Msep, -1, -2))
         sep_w, sep_V = jnp.linalg.eigh(Msep)
-        inv = (1.0 / navg).astype(dtype)
         out = {
             "X": sX * c0.X, "Xt": sX * state.Xt, "Y": c0.Y,
             "Th": sT * c0.Th, "U": c0.U, "W": (sX * sX) * state.W,
-            "y1": inv * acc[0], "y2": inv * acc[1],
-            "ya": inv * acc[2], "yb": inv * acc[3], "yc": inv * acc[4],
-            "y5": inv * acc[5], "yx": inv * acc[6], "yr": inv * acc[7],
-            "yl": inv * acc[8], "ywl": inv * acc[9],
+            "y1": ybar[0], "y2": ybar[1],
+            "ya": ybar[2], "yb": ybar[3], "yc": ybar[4],
+            "y5": ybar[5], "yx": ybar[6], "yr": ybar[7],
+            "yl": ybar[8], "ywl": ybar[9],
+            "lb_dev": lb_dev, "lb_est": lb_est,
+            "iters_run": jnp.zeros_like(
+                state.core.rho, dtype=jnp.int32
+            ) + iters_run,
             "sep_w": sep_w[..., :2], "sep_V": sep_V[..., :, :2],
         }
         return state, out
@@ -777,208 +850,264 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
 
 
 # ---------------------------------------------------------------------------
-# Host-side certified bound (float64)
+# Safe dual bound — backend-agnostic (numpy for certified f64 host
+# evaluation, jnp for the on-device early-exit screen inside the compiled
+# loop), mirroring omc.sdp.admm_shor.safe_dual_bound_shor.
 # ---------------------------------------------------------------------------
 
 
-def _np_psd(M):
-    M = 0.5 * (M + np.swapaxes(M, -1, -2))
-    w, V = np.linalg.eigh(M)
-    return np.einsum("...ik,...k,...jk->...ij", V, np.maximum(w, 0.0), V)
+def _scat_bk(xp, arr, idx_bM, val_bkM):
+    """Scatter-add val (B, k, M) into arr (B, k, N) at idx (B, M)."""
+    B, kk = arr.shape[0], arr.shape[1]
+    M = idx_bM.shape[1]
+    shape = (B, kk, M)
+    if xp is np:
+        bi = np.broadcast_to(np.arange(B)[:, None, None], shape)
+        ki = np.broadcast_to(np.arange(kk)[None, :, None], shape)
+        ii = np.broadcast_to(np.asarray(idx_bM)[:, None, :], shape)
+        np.add.at(arr, (bi, ki, ii), val_bkM)
+        return arr
+    bi = jnp.arange(B)[:, None, None]
+    ki = jnp.arange(kk)[None, :, None]
+    ii = jnp.broadcast_to(idx_bM[:, None, :], shape)
+    return arr.at[bi, ki, ii].add(val_bkM)
 
 
-def host_certified_bound_shor_k(A, mask, batch: NodeBatch,
-                                sbh: ShorKBatchHost, out: dict, gamma,
-                                k: int, ub_bar, margin_rel=1e-10):
-    """Float64 safe Lagrangian dual bound for the rank-k Shor relaxation.
+def _scat_b(xp, arr, idx_bM, val_bM):
+    """Scatter-add val (B, M) into arr (B, N) at idx (B, M)."""
+    if xp is np:
+        np.add.at(arr, (np.arange(arr.shape[0])[:, None], idx_bM), val_bM)
+        return arr
+    return arr.at[jnp.arange(arr.shape[0])[:, None], idx_bM].add(val_bM)
+
+
+def safe_dual_bound_shor_k(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya,
+                           yb, yc, y5, yx, yr, yl, ywl, gamma, k: int,
+                           ub_bar, margin_rel=None):
+    """Closed-form safe Lagrangian dual bound for the rank-k Shor
+    relaxation — valid for ANY solver state (weak duality; multipliers
+    are cone-projected here, in float64 when called from the host).
 
     Kept sets (all provably containing the node's master-feasible points
     with objective <= ub_bar; see module docstring): |Xt| <= R_X,
     W, Wt in [0, 2 gamma ub], |H| <= 2 gamma ub, |V*| <= 2 gamma ub,
     Y in the spectrahedron, U in the box, Theta PSD with trace bound.
-    Multipliers are cone-projected here in float64, so the result is a
-    valid bound for ANY solver state (weak duality).
-    """
-    from omc.sdp.admm_shor import _np_project_rsoc
+    ``sb`` is any object with the ShorKBatch(Host) field layout."""
+    from omc.sdp.admm_shor import _project_rsoc_xp, _psd_part
 
-    f = lambda a: np.asarray(a, dtype=np.float64)
-    A = f(A)
-    mask = f(mask)
-    n, m = A.shape
-    B = out["y1"].shape[0]
+    n, m = A.shape[-2], A.shape[-1]
+    B = y1.shape[0]
     kp = (k * (k - 1)) // 2
     T_th = 2.0 * gamma * ub_bar
-    R_X = np.sqrt(T_th)
+    R_X = np.sqrt(T_th) if xp is np else xp.sqrt(xp.asarray(T_th, A.dtype))
     Wmax = T_th
     Vmax = T_th
 
-    S1 = _np_psd(-f(out["y1"]))
-    S2 = _np_psd(-f(out["y2"]))
-    P1_, q, R1 = S1[:, :n, :n], S1[:, :n, n:], S1[:, n:, n:]
+    S1 = _psd_part(xp, -y1)
+    S2 = _psd_part(xp, -y2)
+    q, R1 = S1[:, :n, n:], S1[:, n:, n:]
+    P1_ = S1[:, :n, :n]
     P2_, D, E = S2[:, :n, :n], S2[:, :n, n:], S2[:, n:, n:]
 
-    cmask = f(batch.cut_mask)
-    alpha = np.maximum(-f(out["ya"]), 0.0) * cmask[..., None]
-    beta = np.maximum(-f(out["yb"]), 0.0) * cmask[..., None]
-    lam = np.maximum(-f(out["yc"]), 0.0) * cmask
-    cut_x = f(batch.cut_x)
-    lo, hi = f(batch.cut_lo), f(batch.cut_hi)
+    cmask = batch.cut_mask
+    alpha = xp.maximum(-ya, 0.0) * cmask[..., None]
+    beta = xp.maximum(-yb, 0.0) * cmask[..., None]
+    lam = xp.maximum(-yc, 0.0) * cmask
+    cut_x = batch.cut_x
+    lo, hi = batch.cut_lo, batch.cut_hi
     c = lo + hi
-    bconst = np.sum(-lo * hi, axis=-1)
+    bconst = xp.sum(-lo * hi, axis=-1)
 
-    m5m = f(sbh.minor_mask)
-    cdm = f(sbh.coord_mask)
-    socm = f(sbh.soc_mask)
-    S5 = _np_psd(-f(out["y5"])) * m5m[..., None, None, None]  # (B,M5,k,5,5)
-    Sx = _np_psd(-f(out["yx"])) * cdm[..., None, None]  # (B,C,k+1,k+1)
-    dr = -f(out["yr"])
-    a_r, b_r, c_r = _np_project_rsoc(dr[..., 0], dr[..., 1], dr[..., 2:])
+    m5m = sb.minor_mask
+    cdm = sb.coord_mask
+    socm = sb.soc_mask
+    S5 = _psd_part(xp, -y5) * m5m[..., None, None, None]  # (B,M5,k,5,5)
+    Sx = _psd_part(xp, -yx) * cdm[..., None, None]  # (B,C,k+1,k+1)
+    dr = -yr
+    a_r, b_r, c_r = _project_rsoc_xp(xp, dr[..., 0], dr[..., 1], dr[..., 2:])
     c_r = c_r[..., 0]
     a_r, b_r, c_r = a_r * socm, b_r * socm, c_r * socm
-    yl = f(out["yl"])  # free (Theta-link)
-    ywl = f(out["ywl"]) * cdm  # free (W-link)
+    ywl = ywl * cdm  # free (W-link); yl free (Theta-link)
 
     # ---- Y / U / cut terms ----
-    G_Y = -(P1_ + P2_) + np.einsum("bl,bln,blp->bnp", lam, cut_x, cut_x)
-    G_Y = 0.5 * (G_Y + np.swapaxes(G_Y, -1, -2))
-    y_term = np.sum(np.minimum(np.linalg.eigh(G_Y)[0][..., :k], 0.0), axis=-1)
+    G_Y = -(P1_ + P2_) + xp.einsum("bl,bln,blp->bnp", lam, cut_x, cut_x)
+    G_Y = 0.5 * (G_Y + xp.swapaxes(G_Y, -1, -2))
+    y_term = xp.sum(xp.minimum(xp.linalg.eigh(G_Y)[0][..., :k], 0.0), axis=-1)
 
-    W_U = -2.0 * D - np.einsum(
+    W_U = -2.0 * D - xp.einsum(
         "bln,blk->bnk", cut_x, alpha - beta + lam[..., None] * c
     )
-    u_term = np.sum(
-        np.minimum(W_U * f(batch.U_lo), W_U * f(batch.U_hi)), axis=(-2, -1)
+    u_term = xp.sum(
+        xp.minimum(W_U * batch.U_lo, W_U * batch.U_hi), axis=(-2, -1)
     )
     cut_const = (
-        np.sum(alpha * lo, axis=(-2, -1))
-        - np.sum(beta * hi, axis=(-2, -1))
-        - np.sum(lam * bconst, axis=-1)
+        xp.sum(alpha * lo, axis=(-2, -1))
+        - xp.sum(beta * hi, axis=(-2, -1))
+        - xp.sum(lam * bconst, axis=-1)
     )
 
     # ---- Theta: (1/2g) I - R1 + yl on the diagonal ----
-    G_Th = (0.5 / gamma) * np.eye(m)[None] - R1 + yl[:, None, :] * np.eye(m)[None]
-    G_Th = 0.5 * (G_Th + np.swapaxes(G_Th, -1, -2))
-    th_term = T_th * np.minimum(np.linalg.eigh(G_Th)[0][..., 0], 0.0)
+    eye_m = np.eye(m) if xp is np else jnp.eye(m, dtype=A.dtype)
+    G_Th = (0.5 / gamma) * eye_m[None] - R1 + yl[:, None, :] * eye_m[None]
+    G_Th = 0.5 * (G_Th + xp.swapaxes(G_Th, -1, -2))
+    th_term = T_th * xp.minimum(xp.linalg.eigh(G_Th)[0][..., 0], 0.0)
 
     # ---- coefficient assembly (Lagrangian adds <y, slot> per slot) ----
-    bidx = np.arange(B)[:, None]
-    corner_flat = np.take_along_axis(
-        sbh.coord_flat, sbh.mc.reshape(B, -1), axis=1
+    corner_flat = xp.take_along_axis(
+        sb.coord_flat, sb.mc.reshape(B, -1), axis=1
     ).reshape(B, -1, 4)  # (B, M5, 4)
 
     # Xt coefficients (B, k, n*m)
-    coef_Xt = np.broadcast_to(
-        (-mask * A)[None, None], (B, k, n, m)
-    ).reshape(B, k, -1).copy()
-    coef_Xt -= 2.0 * np.broadcast_to(q[:, None], (B, k, n, m)).reshape(B, k, -1)
-    S5k = np.moveaxis(S5, 2, 1)  # (B, k, M5, 5, 5)
+    coef_Xt = xp.broadcast_to(
+        (-mask * A).reshape(1, 1, n * m), (B, k, n * m)
+    ) - 2.0 * xp.broadcast_to(q.reshape(B, 1, n * m), (B, k, n * m))
+    if xp is np:
+        coef_Xt = np.ascontiguousarray(coef_Xt)
+    S5k = xp.moveaxis(S5, 2, 1)  # (B, k, M5, 5, 5)
     for corner in range(4):
-        np.add.at(
-            coef_Xt,
-            (bidx[:, :, None] * 0 + bidx[:, :, None],
-             np.arange(k)[None, :, None],
-             np.broadcast_to(corner_flat[:, None, :, corner],
-                             (B, k, corner_flat.shape[1]))),
+        coef_Xt = _scat_bk(
+            xp, coef_Xt, corner_flat[..., corner],
             -2.0 * S5k[..., 0, corner + 1],
         )
     # XWH X coefficients
-    np.add.at(
-        coef_Xt,
-        (bidx[:, :, None] * 0 + bidx[:, :, None],
-         np.arange(k)[None, :, None],
-         np.broadcast_to(sbh.coord_flat[:, None, :],
-                         (B, k, sbh.coord_flat.shape[1]))),
-        -2.0 * np.moveaxis(Sx[..., 0, 1:], 2, 1),
+    coef_Xt = _scat_bk(
+        xp, coef_Xt, sb.coord_flat, -2.0 * xp.moveaxis(Sx[..., 0, 1:], 2, 1)
     )
-    # RSOC X coefficients (sum over t -> each term)
-    np.add.at(
-        coef_Xt,
-        (bidx[:, :, None] * 0 + bidx[:, :, None],
-         np.arange(k)[None, :, None],
-         np.broadcast_to(sbh.soc_flat[:, None, :],
-                         (B, k, sbh.soc_flat.shape[1]))),
-        np.broadcast_to((-c_r)[:, None, :], (B, k, c_r.shape[1])),
+    # RSOC X coefficients (the row's X slot is sum_t Xt -> every term)
+    coef_Xt = _scat_bk(
+        xp, coef_Xt, sb.soc_flat,
+        xp.broadcast_to((-c_r)[:, None, :], (B, k, c_r.shape[1])),
     )
 
     # W coefficients (B, n*m)
-    coef_W = np.broadcast_to((0.5 * mask)[None], (B, n, m)).copy()
-    coef_W = (coef_W - yl[:, None, :]).reshape(B, -1)
-    np.add.at(coef_W, (bidx, sbh.soc_flat), -b_r)
-    np.add.at(coef_W, (bidx, sbh.coord_flat), ywl)
+    coef_W = (
+        xp.broadcast_to((0.5 * mask)[None], (B, n, m)) - yl[:, None, :]
+    ).reshape(B, -1)
+    if xp is np:
+        coef_W = np.ascontiguousarray(coef_W)
+    coef_W = _scat_b(xp, coef_W, sb.soc_flat, -b_r)
+    coef_W = _scat_b(xp, coef_W, sb.coord_flat, ywl)
 
     # Wt coefficients (B, k, C)
-    C = sbh.coord_mask.shape[1]
-    coef_Wt = np.zeros((B, k, C))
+    C = cdm.shape[1]
+    zz = (lambda s: np.zeros(s)) if xp is np else (
+        lambda s: jnp.zeros(s, dtype=A.dtype)
+    )
+    coef_Wt = zz((B, k, C))
     for corner in range(4):
-        np.add.at(
-            coef_Wt,
-            (bidx[:, :, None] * 0 + bidx[:, :, None],
-             np.arange(k)[None, :, None],
-             np.broadcast_to(sbh.mc[:, None, :, corner],
-                             (B, k, sbh.mc.shape[1]))),
+        coef_Wt = _scat_bk(
+            xp, coef_Wt, sb.mc[..., corner],
             -S5k[..., corner + 1, corner + 1],
         )
     tt = np.arange(k)
-    coef_Wt -= np.moveaxis(Sx[..., tt + 1, tt + 1], 2, 1)
-    coef_Wt -= ywl[:, None, :]
+    coef_Wt = coef_Wt - xp.moveaxis(Sx[..., tt + 1, tt + 1], 2, 1)
+    coef_Wt = coef_Wt - ywl[:, None, :]
 
     # H coefficients (B, kp, C)
-    coef_H = np.zeros((B, kp, C))
+    coef_H = zz((B, kp, C))
     if kp:
         t1s, t2s = _pair_indices(k)
         t1a = np.asarray(t1s)
         t2a = np.asarray(t2s)
-        coef_H -= np.moveaxis(
+        coef_H = coef_H - xp.moveaxis(
             Sx[..., t1a + 1, t2a + 1] + Sx[..., t2a + 1, t1a + 1], 2, 1
         )
-        coef_H -= 2.0 * ywl[:, None, :]
+        coef_H = coef_H - 2.0 * ywl[:, None, :]
 
     # shared V coefficients (B, k, P*)
-    coef_v1 = np.zeros((B, k, sbh.cnt_v1.shape[1]))
-    coef_v2 = np.zeros((B, k, sbh.cnt_v2.shape[1]))
-    coef_v3 = np.zeros((B, k, sbh.cnt_v3.shape[1]))
+    coef_v1 = zz((B, k, sb.cnt_v1.shape[1]))
+    coef_v2 = zz((B, k, sb.cnt_v2.shape[1]))
+    coef_v3 = zz((B, k, sb.cnt_v3.shape[1]))
+    coef_v1 = _scat_bk(xp, coef_v1, sb.iv1a, -2.0 * S5k[..., 1, 2])
+    coef_v1 = _scat_bk(xp, coef_v1, sb.iv1b, -2.0 * S5k[..., 3, 4])
+    coef_v2 = _scat_bk(xp, coef_v2, sb.iv2a, -2.0 * S5k[..., 1, 3])
+    coef_v2 = _scat_bk(xp, coef_v2, sb.iv2b, -2.0 * S5k[..., 2, 4])
+    coef_v3 = _scat_bk(
+        xp, coef_v3, sb.iv3, -2.0 * (S5k[..., 1, 4] + S5k[..., 2, 3])
+    )
 
-    def scat_v(coef, idx, val):
-        np.add.at(
-            coef,
-            (bidx[:, :, None] * 0 + bidx[:, :, None],
-             np.arange(k)[None, :, None],
-             np.broadcast_to(idx[:, None, :], (B, k, idx.shape[1]))),
-            val,
-        )
-
-    scat_v(coef_v1, sbh.iv1a, -2.0 * S5k[..., 1, 2])
-    scat_v(coef_v1, sbh.iv1b, -2.0 * S5k[..., 3, 4])
-    scat_v(coef_v2, sbh.iv2a, -2.0 * S5k[..., 1, 3])
-    scat_v(coef_v2, sbh.iv2b, -2.0 * S5k[..., 2, 4])
-    scat_v(coef_v3, sbh.iv3, -2.0 * (S5k[..., 1, 4] + S5k[..., 2, 3]))
-
-    x_term = -R_X * np.sum(np.abs(coef_Xt), axis=(-2, -1))
-    w_term = Wmax * np.sum(np.minimum(coef_W, 0.0), axis=-1)
-    wt_term = Wmax * np.sum(np.minimum(coef_Wt, 0.0), axis=(-2, -1))
-    h_term = -Wmax * np.sum(np.abs(coef_H), axis=(-2, -1))
+    x_term = -R_X * xp.sum(xp.abs(coef_Xt), axis=(-2, -1))
+    w_term = Wmax * xp.sum(xp.minimum(coef_W, 0.0), axis=-1)
+    wt_term = Wmax * xp.sum(xp.minimum(coef_Wt, 0.0), axis=(-2, -1))
+    h_term = -Wmax * xp.sum(xp.abs(coef_H), axis=(-2, -1))
     v_term = -Vmax * (
-        np.sum(np.abs(coef_v1), axis=(-2, -1))
-        + np.sum(np.abs(coef_v2), axis=(-2, -1))
-        + np.sum(np.abs(coef_v3), axis=(-2, -1))
+        xp.sum(xp.abs(coef_v1), axis=(-2, -1))
+        + xp.sum(xp.abs(coef_v2), axis=(-2, -1))
+        + xp.sum(xp.abs(coef_v3), axis=(-2, -1))
     )
 
     const = (
-        0.5 * np.sum(mask * A * A)
-        - np.sum(S5[..., 0, 0], axis=(-2, -1))
-        - np.sum(Sx[..., 0, 0], axis=-1)
-        - 0.5 * np.sum(a_r, axis=-1)
-        - np.trace(E, axis1=-2, axis2=-1)
+        0.5 * xp.sum(mask * A * A)
+        - xp.sum(S5[..., 0, 0], axis=(-2, -1))
+        - xp.sum(Sx[..., 0, 0], axis=-1)
+        - 0.5 * xp.sum(a_r, axis=-1)
+        - xp.trace(E, axis1=-2, axis2=-1)
         + cut_const
     )
 
     lb = (y_term + u_term + th_term + x_term + w_term + wt_term + h_term
           + v_term + const)
+    if margin_rel is None:
+        margin_rel = margin_rel_default(xp, A.dtype)
     scale = (
-        1.0 + np.abs(lb) + ub_bar
-        + np.sqrt(np.sum(S1 * S1, axis=(-2, -1)))
-        + np.sqrt(np.sum(S2 * S2, axis=(-2, -1)))
-        + np.sqrt(np.sum(S5 * S5, axis=(-4, -3, -2, -1)))
-        + np.sqrt(np.sum(Sx * Sx, axis=(-3, -2, -1)))
+        1.0 + xp.abs(lb) + ub_bar
+        + xp.sqrt(xp.sum(S1 * S1, axis=(-2, -1)))
+        + xp.sqrt(xp.sum(S2 * S2, axis=(-2, -1)))
+        + xp.sqrt(xp.sum(S5 * S5, axis=(-4, -3, -2, -1)))
+        + xp.sqrt(xp.sum(Sx * Sx, axis=(-3, -2, -1)))
     )
     return lb - margin_rel * scale
+
+
+def safe_dual_bound_shor_k2(xp, A, mask, batch, sb, y1, y2, ya, yb, yc, y5,
+                            yx, yr, yl, ywl, gamma, k, ub_bar):
+    """``(lb_valid, lb_est)``: the margined safe bound plus the unmargined
+    value as a float64-tracking exit estimator (same contract as
+    ``omc.sdp.admm_shor.safe_dual_bound_shor2`` — the driver re-certifies
+    in float64 before acting, so estimator optimism costs a requeue,
+    never soundness)."""
+    lb = safe_dual_bound_shor_k(
+        xp, A, mask, batch, sb, y1, y2, ya, yb, yc, y5, yx, yr, yl, ywl,
+        gamma, k, ub_bar, margin_rel=0.0,
+    )
+    margin_rel = margin_rel_default(xp, A.dtype)
+    # conservative proxy scale from the raw duals (||proj(-y)||_F <=
+    # ||y||_F), matching the k = 1 sibling's margin discipline
+    scale = (
+        1.0 + xp.abs(lb) + ub_bar
+        + xp.sqrt(xp.sum(y1 * y1, axis=(-2, -1)))
+        + xp.sqrt(xp.sum(y2 * y2, axis=(-2, -1)))
+        + xp.sqrt(xp.sum(y5 * y5, axis=(-4, -3, -2, -1)))
+        + xp.sqrt(xp.sum(yx * yx, axis=(-3, -2, -1)))
+    )
+    return lb - margin_rel * scale, lb
+
+
+def host_certified_bound_shor_k(A, mask, batch: NodeBatch,
+                                sbh: ShorKBatchHost, out: dict, gamma,
+                                k: int, ub_bar, margin_rel=1e-10):
+    """Float64 safe Lagrangian dual bound for the rank-k Shor relaxation
+    (host entry point; see ``safe_dual_bound_shor_k``)."""
+    f = lambda a: np.asarray(a, dtype=np.float64)
+    hb = NodeBatch(
+        cut_x=f(batch.cut_x), cut_lo=f(batch.cut_lo), cut_hi=f(batch.cut_hi),
+        cut_mask=f(batch.cut_mask), U_lo=f(batch.U_lo), U_hi=f(batch.U_hi),
+    )
+    sbf = ShorKBatchHost(
+        minor_idx=np.asarray(sbh.minor_idx), minor_mask=f(sbh.minor_mask),
+        mc=np.asarray(sbh.mc), coord_flat=np.asarray(sbh.coord_flat),
+        coord_j=np.asarray(sbh.coord_j), coord_mask=f(sbh.coord_mask),
+        coord_minor_cnt=f(sbh.coord_minor_cnt),
+        iv1a=np.asarray(sbh.iv1a), iv1b=np.asarray(sbh.iv1b),
+        iv2a=np.asarray(sbh.iv2a), iv2b=np.asarray(sbh.iv2b),
+        iv3=np.asarray(sbh.iv3), soc_flat=np.asarray(sbh.soc_flat),
+        soc_mask=f(sbh.soc_mask), cnt_minor=f(sbh.cnt_minor),
+        is_coord=f(sbh.is_coord), is_soc=f(sbh.is_soc),
+        cnt_v1=f(sbh.cnt_v1), cnt_v2=f(sbh.cnt_v2), cnt_v3=f(sbh.cnt_v3),
+    )
+    return safe_dual_bound_shor_k(
+        np, f(A), f(mask), hb, sbf, f(out["y1"]), f(out["y2"]), f(out["ya"]),
+        f(out["yb"]), f(out["yc"]), f(out["y5"]), f(out["yx"]), f(out["yr"]),
+        f(out["yl"]), f(out["ywl"]), float(gamma), k, float(ub_bar),
+        margin_rel=margin_rel,
+    )

@@ -155,6 +155,90 @@ def test_shor_k2_certified_bound_weak_duality():
     assert res["lower_bound"] > -10.0 * ub - 10.0
 
 
+def test_safe_bound_backend_agreement():
+    """The jnp evaluation of the backend-agnostic rank-k safe bound must
+    match the numpy host certification on identical float64 duals (the
+    on-device early-exit screen and the host bound share one function)."""
+    from omc.sdp.shor_k import safe_dual_bound_shor_k
+
+    rng = np.random.default_rng(7)
+    k = 2
+    A, idx = _small_instance(k=k)
+    n, m = A.shape
+    gamma, ub_bar = 20.0, 3.0
+    mask = idx.astype(np.float64)
+    minors = _some_minors(idx, cap=5)
+    soc = shor_soc_complement(n, m, minors)
+    M5 = 8
+    sbh = pack_shor_k_batch(n, m, [minors], [soc], M5=M5, Msoc=n * m)
+    B, C = 1, 4 * M5
+    kp = k * (k - 1) // 2
+    lo, hi = root_box(n, k)
+    batch = NodeBatch(
+        cut_x=np.zeros((B, 1, n)), cut_lo=np.zeros((B, 1, k)),
+        cut_hi=np.zeros((B, 1, k)), cut_mask=np.zeros((B, 1)),
+        U_lo=lo[None], U_hi=hi[None],
+    )
+    r = lambda *s: 0.1 * rng.standard_normal(s)
+    out = {
+        "y1": r(B, n + m, n + m), "y2": r(B, n + k, n + k),
+        "ya": r(B, 1, k), "yb": r(B, 1, k), "yc": r(B, 1),
+        "y5": r(B, M5, k, 5, 5), "yx": r(B, C, k + 1, k + 1),
+        "yr": r(B, n * m, 3), "yl": r(B, m), "ywl": r(B, C),
+    }
+    lb_np = host_certified_bound_shor_k(
+        A, mask, batch, sbh, out, gamma, k, ub_bar
+    )
+    from omc.sdp.shor_k import shor_k_batch_to_device
+
+    sb64 = shor_k_batch_to_device(sbh, jnp.float64)
+    b64 = NodeBatch(*[jnp.asarray(x, jnp.float64) for x in batch])
+    lb_j = safe_dual_bound_shor_k(
+        jnp, jnp.asarray(A), jnp.asarray(mask), b64, sb64,
+        *[jnp.asarray(out[key]) for key in
+          ("y1", "y2", "ya", "yb", "yc", "y5", "yx", "yr", "yl", "ywl")],
+        gamma, k, ub_bar, margin_rel=1e-10,
+    )
+    np.testing.assert_allclose(np.asarray(lb_j), lb_np, rtol=1e-8, atol=1e-10)
+
+
+def test_shor_k_early_exit():
+    """k = 2 solver with a trivially-cleared target exits after ONE check
+    chunk instead of running the full budget (VERDICT r3 weak #4)."""
+    A, idx = _small_instance(k=2)
+    n, m = A.shape
+    k, gamma = 2, 20.0
+    minors = _some_minors(idx, cap=4)
+    soc = shor_soc_complement(n, m, minors)
+    M5 = 4
+    sbh = pack_shor_k_batch(n, m, [minors], [soc], M5=M5, Msoc=n * m)
+    sb = shor_k_batch_to_device(sbh, jnp.float32)
+    B, L = 1, 1
+    lo, hi = root_box(n, k)
+    f32 = jnp.float32
+    batch = NodeBatch(
+        cut_x=jnp.zeros((B, L, n), f32), cut_lo=jnp.zeros((B, L, k), f32),
+        cut_hi=jnp.zeros((B, L, k), f32), cut_mask=jnp.zeros((B, L), f32),
+        U_lo=jnp.asarray(lo, f32)[None], U_hi=jnp.asarray(hi, f32)[None],
+    )
+    solver = make_shor_k_solver(
+        n, m, k, L, M5, n * m, gamma, iters=800, check_every=100,
+    )
+    state = init_shor_k_state(B, n, m, k, L, M5, n * m)
+    Adev = jnp.asarray(A, jnp.float32)
+    mdev = jnp.asarray(idx, jnp.float32)
+    # a -1e9 target is cleared by any finite first-chunk bound
+    target = jnp.full((B,), -1e9, jnp.float32)
+    group = jnp.arange(B, dtype=jnp.int32)
+    _, out = solver(Adev, mdev, batch, sb, 5.0, state, 800, target, group)
+    iters = int(np.max(np.asarray(out["iters_run"])))
+    assert iters == 100, iters
+    assert np.isfinite(float(out["lb_est"][0]))
+    # without a target the loop runs the full budget
+    _, out2 = solver(Adev, mdev, batch, sb, 5.0, state, 300, None, None)
+    assert int(np.max(np.asarray(out2["iters_run"]))) == 300
+
+
 @pytest.mark.slow
 def test_bnb_k2_shor_e2e():
     """End-to-end k = 2 with Shor valid inequalities (iterative growth)."""
