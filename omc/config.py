@@ -147,6 +147,11 @@ class SolverConfig:
     resume: bool = False  # resume from checkpoint_path if it exists
 
     def __post_init__(self):
+        if self.sdp_method not in ("admm", "pdhg"):
+            raise ValueError(
+                'Argument `sdp_method` must be "admm" or "pdhg"; '
+                f"{self.sdp_method} supplied instead."
+            )
         if self.use_disjunctive_cuts:
             if self.disjunctive_cuts_type not in _CUT_TYPES:
                 raise ValueError(

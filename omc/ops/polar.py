@@ -80,8 +80,18 @@ def matrix_sign_poly(Z, schedule=None, dtype=None):
 def project_psd_ns(T, iters: int | None = None):
     """Project symmetric (..., d, d) matrices onto the PSD cone using the
     quintic/cubic matrix-sign schedule (matmuls only).  ``iters`` is
-    accepted for backward compatibility and ignored (the schedule has a
-    fixed length)."""
+    accepted for backward compatibility only: the schedule has a fixed
+    length, so a non-None value is IGNORED (with a DeprecationWarning) —
+    passing a larger value does not buy extra accuracy."""
+    if iters is not None:
+        import warnings
+
+        warnings.warn(
+            "project_psd_ns ignores `iters`: the sign schedule has a fixed "
+            "length; remove the argument",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
     s = jnp.sqrt(jnp.sum(T * T, axis=(-2, -1), keepdims=True)) + 1e-30
     S = matrix_sign_poly(T / s)

@@ -142,6 +142,13 @@ def deserialize_node(vec: np.ndarray, n: int, k: int, Lmax: int,
         # active minors (reference lines 656-665), so only minors travel
         from omc.sdp.shor import shor_soc_complement
 
+        if m is None:
+            raise ValueError(
+                "deserialize_node: `m` is required when the wire vector "
+                "carries Shor state (the SOC complement is over the full "
+                "n x m coordinate grid; defaulting m=n would build a wrong "
+                "complement for rectangular problems)"
+            )
         o = _HDR + 2 * n * k + Lmax * (n + 2 * k)
         flat = np.asarray(
             np.round(vec[o : o + 4 * n_minors]), dtype=np.int64
@@ -149,9 +156,7 @@ def deserialize_node(vec: np.ndarray, n: int, k: int, Lmax: int,
         minors = [tuple(int(v) for v in row) for row in flat]
         shor_info = ShorInfo(
             constraints_indexes=minors,
-            SOC_constraints_indexes=shor_soc_complement(
-                n, m if m is not None else n, minors
-            ),
+            SOC_constraints_indexes=shor_soc_complement(n, m, minors),
         )
     node = BBNode(
         node_id=node_id, parent_id=0, U_lower=U_lower, U_upper=U_upper,

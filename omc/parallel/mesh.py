@@ -25,8 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from omc.sdp.admm import make_admm_solver
-from omc.sdp.relax import NodeBatch, safe_dual_bound
+from omc.sdp.relax import NodeBatch
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -34,55 +33,6 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), ("nodes",))
-
-
-def make_sharded_super_step(mesh: Mesh, n: int, m: int, k: int, L: int,
-                            gamma: float, *, iters: int = 400,
-                            dtype=jnp.float32, rho: float = 0.03,
-                            alpha: float = 1.6, sX: float = 1.0,
-                            sT: float = 1.0, psd_method: str = "auto"):
-    """Build a jitted multi-device super-step.
-
-    step(A, mask, batch, ub_bar, state) ->
-        (state, out, lb_device (B,), global_min_lb scalar)
-
-    ``batch``/``state`` lead with the node axis (size divisible by the mesh
-    size); ``out`` carries per-node primal/dual blocks and separation
-    eigenpairs exactly like the single-device solver.  ``lb_device`` is the
-    on-device float safe bound (host float64 certification still applies to
-    whatever nodes the driver keeps); ``global_min_lb`` is the pmin over
-    the mesh — the collective bound synchronisation.
-    """
-    solve = make_admm_solver(
-        n, m, k, L, gamma, iters=iters, dtype=dtype, rho=rho, alpha=alpha,
-        sX=sX, sT=sT, psd_method=psd_method, jit=False,
-    )
-
-    def local_step(A, mask, batch: NodeBatch, ub_bar, state):
-        state, out = solve(A, mask, batch, ub_bar, state)
-        lb = safe_dual_bound(
-            jnp, A.astype(dtype), mask.astype(dtype), batch,
-            out["y1"], out["y2"], out["ya"], out["yb"], out["yc"],
-            gamma, k, ub_bar,
-        )
-        gmin = jax.lax.pmin(jnp.min(lb), axis_name="nodes")
-        return state, out, lb, gmin
-
-    try:
-        shard_map = jax.shard_map
-    except AttributeError:  # older jax
-        from jax.experimental.shard_map import shard_map
-    rep = P()
-    shard = P("nodes")
-    step = jax.jit(
-        shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(rep, rep, NodeBatch(*([shard] * 6)), rep, shard),
-            out_specs=(shard, shard, shard, rep),
-        )
-    )
-    return step
 
 
 def _shard_map():

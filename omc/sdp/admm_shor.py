@@ -41,7 +41,7 @@ from omc.sdp.admm import (
     _forward,
     _gram1,
 )
-from omc.sdp.relax import NodeBatch
+from omc.sdp.relax import NodeBatch, margin_rel_default
 from omc.sdp.shor_encode import ShorBatchHost
 
 
@@ -672,7 +672,7 @@ def safe_dual_bound_shor(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya, yb,
 
     lb = y_term + u_term + th_term + x_term + w_term + v_term + const
     if margin_rel is None:
-        margin_rel = 1e-10 if A.dtype == xp.float64 else 3e-5
+        margin_rel = margin_rel_default(xp, A.dtype)
     scale = (
         1.0 + xp.abs(lb) + ub_bar
         + xp.sqrt(xp.sum(S1 * S1, axis=(-2, -1)))
@@ -693,9 +693,10 @@ def safe_dual_bound_shor2(xp, A, mask, batch, sb, y1, y2, ya, yb, yc, y5,
         xp, A, mask, batch, sb, y1, y2, ya, yb, yc, y5, yr, yl, gamma,
         ub_bar, margin_rel=0.0,
     )
-    margin_rel = 1e-10 if A.dtype == xp.float64 else 3e-5
+    margin_rel = margin_rel_default(xp, A.dtype)
     # scale recomputation would need the projected multipliers again; a
     # cheap conservative proxy from the raw duals suffices for the margin
+    # (||proj_PSD(-y)||_F <= ||y||_F, so the proxy scale >= the true one)
     scale = (
         1.0 + xp.abs(lb) + ub_bar
         + xp.sqrt(xp.sum(y1 * y1, axis=(-2, -1)))

@@ -83,5 +83,9 @@ def region_bounds(cuts_type: str, code, vhat):
 
 def chord_coefficients(lo, hi):
     """Secant overestimator of v^2 on [lo, hi]: returns (c, b) with
-    chord(v) = c*v + b, c = lo+hi, b = -lo*hi."""
+    chord(v) = c*v + b, c = lo+hi, b = -lo*hi.
+
+    Documentation/test helper only: the solvers inline these coefficients
+    (``c = cut_lo + cut_hi`` and ``bconst = -lo*hi`` in omc.sdp.admm /
+    omc.sdp.relax) — this function states the math they implement."""
     return lo + hi, -lo * hi

@@ -119,19 +119,24 @@ def mccormick_box_feasible(U_lower: np.ndarray, U_upper: np.ndarray,
     return True
 
 
-def mccormick_lp_feasible(U_lower: np.ndarray, U_upper: np.ndarray) -> bool:
-    """Exact LP feasibility of the reference's relaxation-feasibility model
-    (`/root/reference/src/OptimalMatrixCompletion.jl:1294-1429`), minus the
-    column SOC rows (an LP cannot carry them; dropping constraints only
-    weakens the test, so a False here is still a sound infeasibility
-    certificate — and strictly stronger than ``mccormick_box_feasible``,
-    which treats orthogonality rows with independent U choices).
+def mccormick_lp_feasible(U_lower: np.ndarray, U_upper: np.ndarray,
+                          max_soc_rounds: int = 6) -> bool:
+    """Exact feasibility of the reference's relaxation-feasibility model
+    (`/root/reference/src/OptimalMatrixCompletion.jl:1294-1429`) including
+    the column-SOC rows ``|U_j| <= 1`` (reference lines 1406-1413) via
+    Kelley outer-approximation: the base LP is solved, every violated
+    column norm generates the supporting cut ``(U_j*/|U_j*|)' U_j <= 1``
+    (valid for the SOC, so an infeasible cut-extended LP is a sound
+    infeasibility certificate for the full conic model), and the LP is
+    re-solved — up to ``max_soc_rounds`` rounds.  A surviving feasible
+    point within norm tolerance (or round exhaustion) returns True, the
+    sound direction.
 
     Variables: U (n*k, box bounds) and t (n*q, free); constraints: the four
     McCormick envelope rows per (i, j1 <= j2) linking t to the SHARED U
-    entries, and the orthogonality equalities sum_i t[i, p] = delta_p.
-    Solved with scipy's HiGHS (the host-native analogue of the reference's
-    Mosek feasibility LP)."""
+    entries, the orthogonality equalities sum_i t[i, p] = delta_p, and the
+    accumulated SOC cuts.  Solved with scipy's HiGHS (the host-native
+    analogue of the reference's Mosek feasibility model)."""
     from scipy.optimize import linprog
     from scipy.sparse import coo_matrix
 
@@ -155,8 +160,7 @@ def mccormick_lp_feasible(U_lower: np.ndarray, U_upper: np.ndarray) -> bool:
                 vals += [-s[rr, i, p], -c1[rr, i, p], -c2[rr, i, p]]
                 rhs.append(d[rr, i, p])
                 r += 1
-    A_ub = coo_matrix((vals, (rows, cols)), shape=(r, nv))
-    b_ub = np.asarray(rhs)
+    b_ub = list(rhs)
     # orthogonality equalities
     rows_e, cols_e, vals_e = [], [], []
     for p in range(q):
@@ -173,11 +177,31 @@ def mccormick_lp_feasible(U_lower: np.ndarray, U_upper: np.ndarray) -> bool:
         (t_lo[i, p] - 1e-9, t_hi[i, p] + 1e-9)
         for p in range(q) for i in range(n)
     ]
-    res = linprog(
-        np.zeros(nv), A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq,
-        bounds=bounds, method="highs",
-    )
-    return res.status != 2  # 2 = infeasible
+    cost = np.zeros(nv)
+    for _ in range(max(0, max_soc_rounds) + 1):
+        A_ub = coo_matrix((vals, (rows, cols)), shape=(r, nv))
+        res = linprog(
+            cost, A_ub=A_ub, b_ub=np.asarray(b_ub), A_eq=A_eq, b_eq=b_eq,
+            bounds=bounds, method="highs",
+        )
+        if res.status == 2:  # infeasible — sound certificate
+            return False
+        if res.x is None:
+            return True  # solver trouble: fail open (sound direction)
+        U_star = np.asarray(res.x[: n * k]).reshape(n, k)
+        norms = np.sqrt(np.sum(U_star * U_star, axis=0))
+        viol = np.where(norms > 1.0 + 1e-7)[0]
+        if viol.size == 0:
+            return True  # feasible for the SOC-coupled model
+        for j in viol:  # supporting-hyperplane cut g' U_j <= 1
+            g = U_star[:, j] / norms[j]
+            for i in range(n):
+                rows.append(r)
+                cols.append(i * k + int(j))
+                vals.append(g[i])
+            b_ub.append(1.0)
+            r += 1
+    return True  # rounds exhausted without a certificate: fail open
 
 
 def master_feasible_mccormick(Y, U, X, Th, *, orthogonality_tolerance=0.0,

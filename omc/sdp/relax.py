@@ -236,7 +236,12 @@ def make_solver(n: int, m: int, k: int, L: int, gamma: float, *,
     the block variable scales (see module docstring).
     """
 
-    def solve(A, mask, batch: NodeBatch, ub_bar, state: PDHGState):
+    def solve(A, mask, batch: NodeBatch, ub_bar, state: PDHGState,
+              n_iters=None):
+        """``n_iters`` (optional, traced): runtime iteration budget — the
+        same contract as the ADMM family, so the driver's iteration boost
+        and duration capping apply to the PDHG path too."""
+        ni = jnp.asarray(iters if n_iters is None else n_iters, jnp.int32)
         A = A.astype(dtype)
         mask = mask.astype(dtype)
         R_Xs = jnp.sqrt(2.0 * gamma * ub_bar).astype(dtype) / sX
@@ -300,7 +305,7 @@ def make_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                 y1=y1, y2=y2, y3=y3, y4=y4, ysoc=ysoc, ya=ya, yb=yb, yc=yc,
             )
 
-        state = jax.lax.fori_loop(0, iters, body, state)
+        state = jax.lax.fori_loop(0, ni, body, state)
 
         # separation / master-feasibility eigenpairs of U U' - Y
         Msep = jnp.einsum("bik,bjk->bij", state.U, state.U) - state.Y
@@ -321,6 +326,14 @@ def make_solver(n: int, m: int, k: int, L: int, gamma: float, *,
 # Safe dual bound — backend-agnostic (numpy for certified f64 host evaluation,
 # jnp for cheap on-device progress estimates).
 # ---------------------------------------------------------------------------
+
+
+def margin_rel_default(xp, dtype):
+    """The floating-point safety-margin constant, in ONE place for every
+    safe dual bound (base ADMM/PDHG, Shor k=1, Shor k>1): 1e-10 for
+    float64 host certification, 3e-5 for compute-dtype on-device
+    screening (sized to the observed eigh/reduction noise floor)."""
+    return 1e-10 if dtype == xp.float64 else 3e-5
 
 
 def safe_dual_bound(xp, A, mask, batch, y1, y2, ya, yb, yc, gamma, k, ub_bar,
@@ -453,7 +466,7 @@ def safe_dual_bound2(xp, A, mask, batch, y1, y2, ya, yb, yc, gamma, k, ub_bar,
     # floating-point safety margin: scale-aware, subtracted so that rounding
     # in the eigendecompositions / reductions cannot overstate the bound.
     if margin_rel is None:
-        margin_rel = 1e-10 if A.dtype == xp.float64 else 3e-5
+        margin_rel = margin_rel_default(xp, A.dtype)
     scale = (
         1.0
         + xp.abs(lb)
@@ -463,22 +476,6 @@ def safe_dual_bound2(xp, A, mask, batch, y1, y2, ya, yb, yc, gamma, k, ub_bar,
     )
     lb_est = lb - x_unobs_term  # drop the noise-amplified off-support term
     return lb - margin_rel * scale, lb_est
-
-
-def state_slice_to_host(state, i: int, compress=np.float32) -> list:
-    """Extract node ``i``'s slice of a batch solver state (any solver-state
-    pytree: PDHGState, ADMMState, ShorADMMState) as a flat list of
-    compressed host arrays for the parent warm-start cache.
-
-    float32 keeps the warm-start error (~1e-7) below the bound-accuracy
-    target; float16's ~1e-3 error was observed to cap the accuracy that can
-    accumulate down a warm-started chain of nodes.
-
-    NOTE: prefer ``state_to_host`` + ``host_state_slice`` when slicing many
-    nodes from the same batch — this per-node form issues one device->host
-    transfer per leaf per node, which is ruinous over a remote-device
-    (axon) tunnel."""
-    return [np.asarray(x[i]).astype(compress) for x in jax.tree.leaves(state)]
 
 
 def state_to_host(state, compress=np.float32) -> list:
@@ -516,21 +513,6 @@ def apply_warm_slices(base_leaves, slices):
                     base[i][r:] = 0.0
             # else: incompatible leaf — keep template value
     return base_leaves
-
-
-def assemble_warm_state(template, slices):
-    """Build a batch solver state from per-node host slice lists.
-
-    ``template`` is a full-shape zero (or fallback) state of the right
-    type; slice entries override per node (see ``apply_warm_slices``).
-    NOTE: round-trips every leaf through the host — the driver's hot path
-    instead keeps host template leaves and ships the assembled state in
-    one packed transfer (``omc.ops.transfer.put_packed``).
-    """
-    leaves, treedef = jax.tree.flatten(template)
-    base = [np.asarray(leaf).copy() for leaf in leaves]
-    apply_warm_slices(base, slices)
-    return jax.tree.unflatten(treedef, [jnp.asarray(b) for b in base])
 
 
 def host_certified_bound(A, mask, batch: NodeBatch, out: dict, gamma, k, ub_bar):

@@ -104,6 +104,42 @@ def _memo_program(key, build):
     return fn
 
 
+def _merge_best_out(prev: dict, new: dict) -> dict:
+    """Per-slot best-chunk merge of two solver output dicts (device-side).
+
+    The solvers' in-loop best-chunk tracker re-initialises at every call,
+    so when the driver splits one visit into several sub-calls (the
+    ``sdp_max_call_seconds`` duration cap for the remote-TPU tunnel), the
+    final sub-call's ``out`` only reflects the best chunk of the LAST time
+    slice.  This merge keeps, per slot, the dual blocks / bounds from
+    whichever sub-call scored the higher float64-tracking estimator —
+    restoring whole-visit best-chunk semantics.  Primal iterates,
+    separation eigenpairs, and ``iters_run`` stay from the latest sub-call
+    (they describe the current state, not a bound candidate).
+    """
+    take = new["lb_est"] > prev["lb_est"]
+    out = {}
+    for key, val in new.items():
+        if key in ("lb_est", "lb_dev") or key.startswith("y"):
+            t = take.reshape(take.shape[:1] + (1,) * (val.ndim - 1))
+            out[key] = jnp.where(t, val, prev[key])
+        else:
+            out[key] = val
+    return out
+
+
+_MERGE_BEST_JIT = None
+
+
+def _merge_best_out_jit():
+    global _MERGE_BEST_JIT
+    if _MERGE_BEST_JIT is None:
+        import jax as _jax
+
+        _MERGE_BEST_JIT = _jax.jit(_merge_best_out)
+    return _MERGE_BEST_JIT
+
+
 def _l_bucket(need: int) -> int:
     for b in _L_BUCKETS:
         if need <= b:
@@ -478,6 +514,12 @@ def matrix_completion_branchandbound(
         ], echo=echo)
     last_checkpoint = time.time()
 
+    # root_node_timeout bookkeeping (reference lines 774-776): the root is
+    # "resolved" once it is pruned, closed, or split — tracked explicitly
+    # because `1 in tree.nodes` is False while the root sits popped in the
+    # work batch, exactly when a timeout mid-visit is most likely
+    root_resolved = 1 not in tree.nodes
+
     # ------------------------------------------------------------------
     # Multi-host distribution (omc/parallel/dist.py): the root starts on
     # process 0; other hosts begin with an empty shard and receive nodes
@@ -609,8 +651,15 @@ def matrix_completion_branchandbound(
                     )
                 )
             t0c = time.time()
-            st, out = call(st, cap)
-            ran_arr = out.get("iters_run")
+            st, new_out = call(st, cap)
+            # the solver's in-loop best-chunk tracker resets per call;
+            # merge sub-call outputs per slot by the estimator so the
+            # certified duals reflect the whole visit's best chunk
+            if out is not None and "lb_est" in new_out and "lb_est" in out:
+                out = _merge_best_out_jit()(out, new_out)
+            else:
+                out = new_out
+            ran_arr = new_out.get("iters_run")
             ran = int(np.max(np.asarray(ran_arr))) if ran_arr is not None else cap
             dtc = time.time() - t0c
             new_r = dtc / max(ran, 1)
@@ -873,6 +922,8 @@ def matrix_completion_branchandbound(
                     raw = make_shor_k_solver(
                         n, m, k, L, M5, n * m, gamma, iters=cfg.sdp_iters,
                         dtype=dtype, sX=sX, sT=sT, jit=False,
+                        check_every=cfg.sdp_check_every,
+                        ema_iters=cfg.sdp_ema_iters,
                     )
                 else:
                     raw = make_shor_solver(
@@ -930,11 +981,20 @@ def matrix_completion_branchandbound(
         work: List[BBNode] = []
         for node in popped:
             if node.LB > tree.best_upper_bound:
-                census["nodes_dominated"] += 1
-            elif use_mccormick:
+                if node.refines == 0:
+                    census["nodes_dominated"] += 1
+                else:
+                    # already in (5) from its first visit; terminal
+                    # outcome is a bound prune -> (6), keeping both
+                    # (3)+(4)+(5)=(1) and (6)+(7)+(9)=(5) exact
+                    census["nodes_relax_feasible_pruned"] += 1
+                if node.node_id == 1:
+                    root_resolved = True
+            elif use_mccormick and node.refines == 0:
                 t0 = time.time()
                 # cheap interval screen first, then the exact envelope LP
-                # (reference's per-node feasibility model, lines 1294-1429)
+                # (reference's per-node feasibility model, lines 1294-1429);
+                # refinement re-visits skip it — the box is unchanged
                 feas = mccormick_box_feasible(node.U_lower, node.U_upper)
                 if feas:
                     feas = mccormick_lp_feasible(node.U_lower, node.U_upper)
@@ -1002,8 +1062,6 @@ def matrix_completion_branchandbound(
         boost = min(
             cfg.sdp_iter_boost_max, max(1, queue_slack // max(1, len(work)))
         )
-        if not use_mccormick and not use_shor and cfg.sdp_method != "admm":
-            boost = 1  # PDHG has no runtime budget argument
         visit_iters = cfg.sdp_iters * boost
         skey = ("mc" if use_mccormick else ("shor" if use_shor else "dc"), Bb)
         rate = iter_rate.get(skey)
@@ -1079,7 +1137,6 @@ def matrix_completion_branchandbound(
                 state0 = solvers["set_rho"](state0, jnp.asarray(rho_mults))
             state0 = _put(state0)
             batch_dev = _put(batch)
-            args = (A_dev, mask_dev, batch_dev, ub_bar, state0)
             if cfg.sdp_method == "admm":
                 # on-device early exit: a slot is done when its chunk-
                 # averaged safe bound clears the level at which no further
@@ -1104,8 +1161,15 @@ def matrix_completion_branchandbound(
                     state0, visit_iters, ("dc", Bb, L),
                 )
             else:
-                fin_state, out = get_solver(L)(*args)
-                iters_done = visit_iters
+                # PDHG (labelled reference implementation): runtime budget
+                # + duration capping, but no on-device early exit (its
+                # duals are final-iterate, so the last sub-call is right)
+                fin_state, out, iters_done = _chunked_call(
+                    lambda st, it: get_solver(L)(
+                        A_dev, mask_dev, batch_dev, ub_bar, st, it
+                    ),
+                    state0, visit_iters, ("pdhg", Bb, L),
+                )
             out = get_all(out)  # one synchronised fetch, not per-leaf
             t_dev_end = time.time()
             if (
@@ -1198,6 +1262,8 @@ def matrix_completion_branchandbound(
 
             if lb_i > tree.best_upper_bound:
                 census["nodes_relax_feasible_pruned"] += 1
+                if node.node_id == 1:
+                    root_resolved = True
                 continue
 
             sel = sel_of[i]
@@ -1208,8 +1274,6 @@ def matrix_completion_branchandbound(
             else:
                 master_feasible = bool(out["sep_w"][sel, 0] >= -1e-6)
             if master_feasible:
-                if not node.master_feasible:  # once per node across visits
-                    census["nodes_master_feasible"] += 1
                 node.master_feasible = True
                 t_pol = time.time()
                 obj_r, X_r, U_r = _round_to_incumbent(out["Y"][sel], A, mask, gamma, k)
@@ -1217,17 +1281,27 @@ def matrix_completion_branchandbound(
                 solve_time_polish += time.time() - t_pol
                 if obj_p < obj_r:
                     obj_r, X_r, U_r = obj_p, X_p, U_p
-                if obj_r < tree.best_upper_bound:
-                    census["nodes_master_feasible_improvement"] += 1
+                improved = obj_r < tree.best_upper_bound
+                if improved:
                     tree.best_upper_bound = obj_r
                     update_solution(obj_r, U_r @ U_r.T, U_r, X_r, time.time() - start_time)
                     add_update()
                 # close the node if its local gap is within target; its LB
                 # then caps the reported global lower bound (soundness: any
                 # master point in this region has objective >= lb_i >=
-                # obj_r / (1 + gap))
+                # obj_r / (1 + gap)).  Census (7)/(8) count at CLOSE time
+                # (terminal-outcome partition): the reference always prunes
+                # master-feasible nodes (lines 434-437), whereas here one
+                # may keep refining/splitting — such a node's terminal
+                # outcome lands in (6) or (9) instead, keeping
+                # (6)+(7)+(9)=(5) exact
                 if obj_r <= lb_i * (1.0 + cfg.gap) or lb_i >= tree.best_upper_bound:
+                    census["nodes_master_feasible"] += 1
+                    if improved:
+                        census["nodes_master_feasible_improvement"] += 1
                     tree.closed_lb_floor = min(tree.closed_lb_floor, lb_i)
+                    if node.node_id == 1:
+                        root_resolved = True
                     continue
 
             # gap-level close (TPU-native): once a node's certified bound
@@ -1238,6 +1312,12 @@ def matrix_completion_branchandbound(
             if lb_i >= tree.best_upper_bound / (1.0 + cfg.gap):
                 tree.closed_lb_floor = min(tree.closed_lb_floor, lb_i)
                 nodes_closed_within_gap += 1
+                # terminal outcome: within-gap bound prune -> census (6),
+                # with nodes_closed_within_gap as the TPU-native
+                # sub-category (the reference has no gap-level close)
+                census["nodes_relax_feasible_pruned"] += 1
+                if node.node_id == 1:
+                    root_resolved = True
                 continue
 
             # bound refinement: requeue this node to continue from its own
@@ -1287,6 +1367,8 @@ def matrix_completion_branchandbound(
                 )
                 if rng.random() < p:
                     altmin_marked.append(i)
+            if node.node_id == 1:
+                root_resolved = True  # the root reached its split visit
             split_nodes.append(i)
 
         # ---- batched altmin heuristic at marked nodes ----
@@ -1420,7 +1502,9 @@ def matrix_completion_branchandbound(
                 )
                 tree.add_nodes(children, node.LB)
 
-        tree.prune_dominated()
+        # queued mid-refinement nodes killed by a better incumbent are
+        # (5)-counted nodes whose terminal outcome is a bound prune -> (6)
+        census["nodes_relax_feasible_pruned"] += tree.prune_dominated()
         lower_bounds_updated = tree.update_lower_bound()
         tree.now_gap = compute_gap(tree.best_lower_bound, tree.best_upper_bound)
         if dist is not None:
@@ -1464,6 +1548,17 @@ def matrix_completion_branchandbound(
     maybe_checkpoint(force=True)
     maybe_stop_profiler(force=True)
 
+    # Terminal accounting for nodes still queued mid-refinement at a
+    # gap-certified exit: global gap <= target means every queued LB is
+    # >= ub/(1+gap), so each such (5)-counted node's terminal outcome is a
+    # within-gap bound prune -> (6).  Keeps the reference census equality
+    # (6)+(7)+(9)=(5) exact on completed runs (timeout/max-steps exits
+    # legitimately leave refining nodes unclassified).
+    if compute_gap(tree.best_lower_bound, tree.best_upper_bound) <= cfg.gap:
+        for nd in tree.nodes.values():
+            if nd.refines > 0:
+                census["nodes_relax_feasible_pruned"] += 1
+
     census_global = None
     if dist is not None:
         # the best incumbent may live on another host; likewise the judge
@@ -1483,8 +1578,10 @@ def matrix_completion_branchandbound(
 
     # the reference flags a root relaxation cut off by the time limit
     # (reference lines 774-776); here the analogue is exiting on the time
-    # limit while the root node's bound is still being refined
-    root_node_timeout = bool(time_taken > cfg.time_limit and 1 in tree.nodes)
+    # limit while the root node's bound is still being refined — tracked
+    # via `root_resolved` so the flag also fires when the limit expires
+    # while the root sits popped in the work batch (not in tree.nodes)
+    root_node_timeout = bool(time_taken > cfg.time_limit and not root_resolved)
 
     solution["MSE_in"] = float(compute_MSE(solution["X"], A, mask, kind="in"))
     solution["MSE_out"] = float(compute_MSE(solution["X"], A, mask, kind="out"))

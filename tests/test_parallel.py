@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from omc.data import generate_matrix_completion_data
-from omc.parallel.mesh import make_mesh, make_sharded_super_step, shard_batch
+from omc.parallel.mesh import make_mesh, shard_batch, shard_solver
 from omc.sdp.admm import init_admm_state, make_admm_solver
 from omc.sdp.relax import NodeBatch, host_certified_bound
 from omc.tree import root_box
@@ -23,7 +23,9 @@ def _batch(B, n, k, L):
     )
 
 
-def test_sharded_super_step_matches_single_device():
+def test_shard_solver_matches_single_device():
+    """The PRODUCTION mesh wrapper (shard_solver, the one the driver uses)
+    must reproduce single-device solver outputs and certified bounds."""
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     n = m = 8
     k, gamma, L, B = 1, 40.0, 4, 8
@@ -32,23 +34,30 @@ def test_sharded_super_step_matches_single_device():
     ub = 0.5 * float(np.sum(mask * A * A))
 
     mesh = make_mesh(8)
-    step = make_sharded_super_step(
-        mesh, n, m, k, L, gamma, iters=200, dtype=jnp.float64, rho=0.05,
-    )
+    raw = make_admm_solver(n, m, k, L, gamma, iters=200, dtype=jnp.float64,
+                           rho=0.05, jit=False)
+    step = shard_solver(mesh, raw, extra_sharded=2)
     batch = _batch(B, n, k, L)
     st0 = init_admm_state(B, n, m, k, L, jnp.float64)
     batch_s, st_s = shard_batch(mesh, batch, st0)
-    state, out, lb_dev, gmin = step(
-        jnp.asarray(A), jnp.asarray(mask), batch_s, ub, st_s
+    # +inf targets: no slot's estimator ever clears, so the loop runs the
+    # full budget on every device — exact parity with the reference call
+    target = jnp.full((B,), jnp.inf, jnp.float64)
+    group = jnp.arange(B, dtype=jnp.int32)
+    from omc.parallel.mesh import put_sharded
+
+    state, out = step(
+        jnp.asarray(A), jnp.asarray(mask), batch_s, ub, st_s,
+        200, put_sharded(mesh, target), put_sharded(mesh, group),
     )
-    lb_dev = np.asarray(lb_dev)
+    lb_dev = np.asarray(out["lb_dev"])
     assert np.isfinite(lb_dev).all()
-    assert float(gmin) == pytest.approx(float(lb_dev.min()))
 
     # identical math on one device (same batch, same iterations)
     solver = make_admm_solver(n, m, k, L, gamma, iters=200, dtype=jnp.float64,
                               rho=0.05)
-    _, out1 = solver(jnp.asarray(A), jnp.asarray(mask), batch, ub, st0)
+    _, out1 = solver(jnp.asarray(A), jnp.asarray(mask), batch, ub, st0,
+                     200, target, group)
     np.testing.assert_allclose(
         np.asarray(out["Y"]), np.asarray(out1["Y"]), rtol=1e-8, atol=1e-8
     )

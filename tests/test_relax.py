@@ -12,13 +12,34 @@ from omc.sdp.admm import ADMMState, init_admm_state, make_admm_solver
 from omc.sdp.cuts import region_bounds
 from omc.sdp.relax import (
     NodeBatch,
-    assemble_warm_state,
+    apply_warm_slices,
     host_certified_bound,
     init_state,
     make_solver,
-    state_slice_to_host,
 )
 from omc.tree import root_box
+
+
+def state_slice_to_host(state, i, compress=np.float32):
+    """Test-local helper: node ``i``'s slice of a batch solver state as
+    compressed host arrays (the production driver slices whole batches via
+    ``state_to_host`` + ``host_state_slice`` instead — one transfer per
+    leaf, not per node)."""
+    import jax
+
+    return [np.asarray(x[i]).astype(compress) for x in jax.tree.leaves(state)]
+
+
+def assemble_warm_state(template, slices):
+    """Test-local helper: build a batch solver state from per-node host
+    slice lists via ``apply_warm_slices`` (the production driver instead
+    keeps host template leaves and ships one packed transfer)."""
+    import jax
+
+    leaves, treedef = jax.tree.flatten(template)
+    base = [np.asarray(leaf).copy() for leaf in leaves]
+    apply_warm_slices(base, slices)
+    return jax.tree.unflatten(treedef, [jnp.asarray(b) for b in base])
 
 
 def _instance(n=8, m=8, k=1, gamma=40.0, frac=0.6, seed=0):
