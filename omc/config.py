@@ -141,6 +141,11 @@ class SolverConfig:
     # init_distributed helper).
     distributed: bool = False
     dist_rebalance_every: int = 4  # rounds between rebalancing exchanges
+    # carry each migrated node's compressed float32 solver-state slice on
+    # the rebalancing wire so it resumes refinement warm on the receiving
+    # host (instead of re-paying refinement visits from the incumbent
+    # template); costs wire volume proportional to the per-node state
+    dist_migrate_state: bool = True
     # checkpoint / resume (absent in the reference; SURVEY.md section 5)
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 60  # seconds between checkpoint writes

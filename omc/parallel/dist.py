@@ -26,10 +26,13 @@ over the jax distributed runtime (``jax.distributed.initialize``): ICI/DCN
 on real multi-host TPU slices, TCP on the multi-process CPU simulation the
 tests use (SURVEY section 4).
 
-Node identity is host-local: a migrated node gets a fresh local id and
-restarts its relaxation from the incumbent template (the parent warm-start
-state lives on the origin host); its monotone LB, refinement count, and cut
-list travel with it, so bound validity is unaffected.
+Node identity is host-local: a migrated node gets a fresh local id; its
+monotone LB, refinement count, cut list, and (when the driver passes a
+``state_spec``) its compressed float32 solver-state slice travel with it,
+so the receiving host resumes the node's bound refinement warm from its
+own duals instead of re-paying refinement visits from the incumbent
+template.  Bound validity never depends on the migrated state (safe dual
+bounds are valid at any solver state).
 """
 
 from __future__ import annotations
@@ -71,12 +74,66 @@ _HDR = 8  # prio_lb, LB, lb_solver, depth, master_feasible, refines,
 # n_cuts, n_minors (-1 => node carries no Shor state)
 
 
-def node_wire_size(n: int, k: int, Lmax: int, Mmax: int = 0) -> int:
-    return _HDR + 2 * n * k + Lmax * (n + 2 * k) + 4 * Mmax
+def state_spec_floats(state_spec) -> int:
+    """Wire capacity of a solver-state block: 1 presence flag + the flat
+    size of every per-node state leaf (``state_spec`` is a list of
+    per-node leaf shapes, batch axis stripped)."""
+    if not state_spec:
+        return 0
+    return 1 + int(sum(int(np.prod(s, dtype=np.int64)) for s in state_spec))
+
+
+def node_wire_size(n: int, k: int, Lmax: int, Mmax: int = 0,
+                   state_spec=None) -> int:
+    return (_HDR + 2 * n * k + Lmax * (n + 2 * k) + 4 * Mmax
+            + state_spec_floats(state_spec))
+
+
+def _pack_state(vec: np.ndarray, o: int, leaves, state_spec) -> None:
+    """Write a warm-start state slice into the wire at offset ``o``.
+
+    Each leaf is fitted to its spec shape: exact shapes copy verbatim; a
+    leaf differing only in the LEADING axis (a smaller/larger cut or minor
+    capacity bucket) is row-truncated / zero-padded — the same lossless
+    convention as ``omc.sdp.relax.apply_warm_slices``; structurally
+    incompatible leaves stay zero (the cone-slot init value)."""
+    vec[o] = 1.0
+    o += 1
+    for li, shape in enumerate(state_spec):
+        sz = int(np.prod(shape, dtype=np.int64))
+        if li < len(leaves):
+            v = np.asarray(leaves[li], np.float64)
+            if v.shape == tuple(shape):
+                vec[o : o + sz] = v.ravel()
+            elif (
+                v.ndim == len(shape) and len(shape) >= 1
+                and v.shape[1:] == tuple(shape)[1:]
+            ):
+                fitted = np.zeros(shape)
+                r = min(shape[0], v.shape[0])
+                fitted[:r] = v[:r]
+                vec[o : o + sz] = fitted.ravel()
+        o += sz
+
+
+def _unpack_state(vec: np.ndarray, o: int, state_spec, compress=np.float32):
+    if vec[o] <= 0.5:
+        return None
+    o += 1
+    leaves = []
+    for shape in state_spec:
+        sz = int(np.prod(shape, dtype=np.int64))
+        leaves.append(
+            np.asarray(vec[o : o + sz], np.float64)
+            .reshape(shape).astype(compress)
+        )
+        o += sz
+    return leaves
 
 
 def serialize_node(node: BBNode, prio_lb: float, n: int, k: int,
-                   Lmax: int, Mmax: int = 0) -> np.ndarray:
+                   Lmax: int, Mmax: int = 0, state=None,
+                   state_spec=None) -> np.ndarray:
     cuts = node.cuts or []
     if len(cuts) > Lmax:
         raise ValueError(f"node has {len(cuts)} cuts > wire capacity {Lmax}")
@@ -88,7 +145,7 @@ def serialize_node(node: BBNode, prio_lb: float, n: int, k: int,
         raise ValueError(
             f"node has {len(minors)} Shor minors > wire capacity {Mmax}"
         )
-    vec = np.zeros(node_wire_size(n, k, Lmax, Mmax))
+    vec = np.zeros(node_wire_size(n, k, Lmax, Mmax, state_spec))
     vec[0] = prio_lb
     vec[1] = node.LB
     vec[2] = node.lb_solver
@@ -113,12 +170,18 @@ def serialize_node(node: BBNode, prio_lb: float, n: int, k: int,
         o = _HDR + 2 * n * k + Lmax * (n + 2 * k)
         flat = np.asarray(minors, dtype=np.float64).ravel()
         vec[o : o + flat.size] = flat
+    if state_spec and state is not None:
+        _pack_state(
+            vec, _HDR + 2 * n * k + Lmax * (n + 2 * k) + 4 * Mmax,
+            state, state_spec,
+        )
     return vec
 
 
 def deserialize_node(vec: np.ndarray, n: int, k: int, Lmax: int,
                      node_id: int, Mmax: int = 0,
-                     m: Optional[int] = None) -> Tuple[float, BBNode]:
+                     m: Optional[int] = None,
+                     state_spec=None) -> Tuple[float, BBNode, Optional[list]]:
     prio_lb = float(vec[0])
     n_cuts = int(round(vec[6]))
     n_minors = int(round(vec[7]))
@@ -165,7 +228,12 @@ def deserialize_node(vec: np.ndarray, n: int, k: int, Lmax: int,
         refines=int(round(vec[5])), lb_solver=float(vec[2]),
         Shor_info=shor_info,
     )
-    return prio_lb, node
+    state = None
+    if state_spec:
+        state = _unpack_state(
+            vec, _HDR + 2 * n * k + Lmax * (n + 2 * k) + 4 * Mmax, state_spec
+        )
+    return prio_lb, node, state
 
 
 def _extract_surplus(tree: BBTree, n_keep: int) -> List[Tuple[float, BBNode]]:
@@ -263,11 +331,20 @@ class DistContext:
                     or rs.counts.max() > target + 8)
 
     def rebalance(self, tree: BBTree, rs: RoundState, n: int, k: int,
-                  m: Optional[int] = None) -> int:
+                  m: Optional[int] = None, state_spec=None,
+                  state_get=None, state_put=None) -> int:
         """All-gather surplus nodes and re-deal them round-robin in LB
         order.  Every host runs this deterministically from the same
         RoundState, so the exchange is collectively consistent.  Returns
-        the number of nodes received."""
+        the number of nodes received.
+
+        ``state_spec`` (list of per-node solver-state leaf shapes, derived
+        identically on every host from the RoundState's Lmax/Mmax) enables
+        WARM migration: each node's cached float32 solver-state slice
+        (``state_get(node_id)``) travels on the wire and is installed into
+        the receiver's warm-start cache (``state_put(new_node_id,
+        leaves)``), so a migrated node resumes refinement from its own
+        duals instead of the incumbent template."""
         P = self.process_count
         target = int(np.ceil(rs.total_nodes / P))
         surplus = np.maximum(rs.counts - target, 0)
@@ -276,12 +353,15 @@ class DistContext:
             return 0
         Lmax = max(1, rs.Lmax)
         Mmax = rs.Mmax
-        D = node_wire_size(n, k, Lmax, Mmax)
+        D = node_wire_size(n, k, Lmax, Mmax, state_spec)
         mine = _extract_surplus(tree, target)
         payload = np.zeros((max_offer, D))
         cnt = np.zeros((max_offer,))
         for i, (prio, node) in enumerate(mine):
-            payload[i] = serialize_node(node, prio, n, k, Lmax, Mmax)
+            st = state_get(node.node_id) if (state_spec and state_get) else None
+            payload[i] = serialize_node(
+                node, prio, n, k, Lmax, Mmax, state=st, state_spec=state_spec
+            )
             cnt[i] = 1.0
         g_pay = self._allgather(payload)  # (P, max_offer, D)
         g_cnt = self._allgather(cnt)  # (P, max_offer)
@@ -297,9 +377,12 @@ class DistContext:
         for j, vec in enumerate(pool):
             if j % P == self.process_index:
                 tree.counter += 1
-                prio, node = deserialize_node(
-                    vec, n, k, Lmax, node_id=tree.counter, Mmax=Mmax, m=m
+                prio, node, st = deserialize_node(
+                    vec, n, k, Lmax, node_id=tree.counter, Mmax=Mmax, m=m,
+                    state_spec=state_spec,
                 )
+                if st is not None and state_put is not None:
+                    state_put(node.node_id, st)
                 received.append((prio, node))
         _insert_migrated(tree, received)
         return len(received)

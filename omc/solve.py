@@ -571,7 +571,18 @@ def matrix_completion_branchandbound(
         tree.best_lower_bound = rs.global_lb
         tree.now_gap = compute_gap(tree.best_lower_bound, tree.best_upper_bound)
         if dist.should_rebalance(rs):
-            dist.rebalance(tree, rs, n, k, m=m)
+            spec = None
+            if cfg.sdp_warm_start and cfg.dist_migrate_state:
+                # flush device-resident states so migrating nodes' latest
+                # slices sit in the host cache, then derive the wire spec
+                # (identical on every host: it is a function of the fused
+                # RoundState's Lmax/Mmax and the shared config)
+                _flush_last_solve()
+                spec = _wire_state_spec(rs.Lmax, rs.Mmax)
+            dist.rebalance(
+                tree, rs, n, k, m=m, state_spec=spec,
+                state_get=state_cache.get, state_put=_cache_put,
+            )
         dist_stop = rs.stop
         return rs.stop
 
@@ -797,6 +808,22 @@ def matrix_completion_branchandbound(
                 Bb, n, m, k, L, dtype=dtype, sX=sX, sT=sT, rho=cfg.sdp_rho, **kw
             )
         return init_state(Bb, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
+
+    def _wire_state_spec(Lmax, Mmax):
+        """Per-node solver-state leaf shapes for the rebalancing wire
+        (batch axis stripped), via eval_shape — no device allocation.
+        Deterministic in (config, Lmax, Mmax), so every host derives the
+        identical spec from the fused RoundState."""
+        import jax as _jax
+
+        Lb = _l_bucket(max(1, Lmax))
+        M5b = _m5_bucket(max(1, Mmax)) if use_shor else None
+        sds = lambda *s: _jax.ShapeDtypeStruct(s, dtype)
+        st = _jax.eval_shape(
+            lambda X0, Y0, Th0, U0: _template(1, Lb, M5b, X0, Y0, Th0, U0),
+            sds(n, m), sds(n, n), sds(m, m), sds(n, k),
+        )
+        return [tuple(leaf.shape[1:]) for leaf in _jax.tree.leaves(st)]
 
     # Device + host template cache: rebuilt only when the incumbent moves.
     # The device copy serves the all-fresh case with ZERO transfers; the

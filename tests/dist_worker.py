@@ -47,6 +47,11 @@ def main():
             update_Shor_indices_n_minors=10,
             sdp_iters=500,
         )
+    elif mode == "coldmigrate":
+        # ablation: rebalanced nodes restart from the incumbent template
+        # (the pre-r4 behaviour) — the warm-migration test compares
+        # refinement totals against this baseline
+        kwargs.update(dist_migrate_state=False)
     sol, _, inst = matrix_completion_branchandbound(1, A, idx, 20.0, **kwargs)
     rd = inst["run_details"]
     print("RESULT " + json.dumps({
@@ -55,6 +60,8 @@ def main():
         "gap": inst["run_log"][-1]["gap"],
         "nodes_explored_local": rd["nodes_explored"],
         "nodes_explored_global": rd["census_global"]["nodes_explored"],
+        "refinement_visits_local": rd["refinement_visits"],
+        "refinement_visits_global": rd["census_global"]["refinement_visits"],
         "process_count": rd["process_count"],
     }), flush=True)
 
