@@ -74,10 +74,13 @@ def config2():
     sol, _, inst = matrix_completion_branchandbound(1, A, idx, 80.0, **kwargs2)
     elapsed = time.time() - t0
     rd = inst["run_details"]
+    gap_final = (
+        float(inst["run_log"][-1]["gap"]) if inst["run_log"] else float("inf")
+    )
     print(json.dumps({
         "metric": "config2_rank1_100x100_shor_iterative_breadthfirst",
         "value": round(elapsed, 3), "unit": "s",
-        "gap_achieved": float(inst["run_log"][-1]["gap"]),
+        "gap_achieved": gap_final,
         "gap_target": gap,
         "objective": float(sol["objective"]),
         "nodes_explored": int(rd["nodes_explored"]),
@@ -112,10 +115,13 @@ def config3():
     sol, _, inst = matrix_completion_branchandbound(2, A, idx, 80.0, **kwargs3)
     elapsed = time.time() - t0
     rd = inst["run_details"]
+    gap_final3 = (
+        float(inst["run_log"][-1]["gap"]) if inst["run_log"] else float("inf")
+    )
     print(json.dumps({
         "metric": "config3_rank2_75x75_linear3_smallest2_bfdf",
         "value": round(elapsed, 3), "unit": "s",
-        "gap_achieved": float(inst["run_log"][-1]["gap"]),
+        "gap_achieved": gap_final3,
         "gap_target": gap,
         "objective": float(sol["objective"]),
         "nodes_explored": int(rd["nodes_explored"]),

@@ -666,7 +666,10 @@ def matrix_completion_branchandbound(
             # the solver's in-loop best-chunk tracker resets per call;
             # merge sub-call outputs per slot by the estimator so the
             # certified duals reflect the whole visit's best chunk
-            if out is not None and "lb_est" in new_out and "lb_est" in out:
+            if (
+                out is not None and "lb_est" in new_out and "lb_est" in out
+                and not os.environ.get("OMC_NO_BEST_MERGE")
+            ):
                 out = _merge_best_out_jit()(out, new_out)
             else:
                 out = new_out
@@ -1385,6 +1388,52 @@ def matrix_completion_branchandbound(
                 # flushed to the host cache lazily only if needed later
                 tree.requeue(node, lb_i)
                 continue
+
+            # Iterative Shor growth at STALL (TPU-native): the reference
+            # grows minors only at child creation (:2495-2518), but with a
+            # warm-started first-order solver that is the worst moment —
+            # every child re-pays the fresh-minor dual noise 2^k times
+            # from a cold EMA (measured on rank-1 100x100: children's
+            # bounds oscillate 30 below the parent for 10+ full-budget
+            # visits and the global LB never moves).  Instead, when a
+            # node's refinement stalls (the split trigger) and it still
+            # has refine budget, STRENGTHEN THE SAME NODE with its
+            # top-scoring violated minors and continue from its own warm
+            # state; split only when growth is exhausted or the budget is
+            # spent.  Same probability gate as the reference's update
+            # rule; adding valid inequalities can only tighten the node.
+            if (
+                use_shor and cfg.add_Shor_valid_inequalities_iterative
+                and node.refines < cfg.max_refines
+                and node.Shor_info is not None
+                and rng.random() < _decayed_probability(
+                    node.depth,
+                    cfg.max_update_Shor_indices_probability,
+                    cfg.min_update_Shor_indices_probability,
+                    cfg.update_Shor_indices_probability_decay_rate,
+                )
+            ):
+                X_score = out["Xt"] if "Xt" in out else out["X"]
+                scored = shor_mod.generate_violated_Shor_minors(
+                    X_score[sel_of[i]].astype(np.float64), indices,
+                    list(cfg.Shor_valid_inequalities_noisy_rank1_num_entries_present),
+                    node.Shor_info.constraints_indexes,
+                    cfg.update_Shor_indices_n_minors,
+                )
+                have = set(node.Shor_info.constraints_indexes)
+                fresh = [mm for _, mm in scored if mm not in have]
+                if fresh:
+                    merged = list(node.Shor_info.constraints_indexes) + fresh
+                    node.Shor_info = ShorInfo(
+                        constraints_indexes=merged,
+                        SOC_constraints_indexes=shor_mod.shor_soc_complement(
+                            n, m, merged
+                        ),
+                    )
+                    node.refines += 1
+                    node.behind_streak = 0
+                    tree.requeue(node, lb_i)
+                    continue
 
             # altmin probability gating (reference lines 856-870)
             if cfg.altmin_flag:
