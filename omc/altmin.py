@@ -63,6 +63,23 @@ def _project_U(U, U_lo, U_hi):
     return U * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-30))
 
 
+def _project_box(U, U_lo, U_hi, sweeps: int = 4):
+    """Cyclic projections onto box ∩ column balls — the McCormick-path
+    node-local projection (the reference's McCormick altmin U-model
+    enforces the node box and the column SOCs jointly,
+    `/root/reference/src/OptimalMatrixCompletion.jl:2095-2171`).  Unlike
+    the root's cut-free path, a McCormick tree node's box IS its branching
+    region (interval bisection on U entries), so the box must bind for the
+    heuristic to search locally.  Ends on the box clip — locality wins the
+    tie; residual ball violation only affects conditioning, never
+    upper-bound validity."""
+    for _ in range(sweeps):
+        U = jnp.clip(U, U_lo, U_hi)
+        nrm = jnp.linalg.norm(U, axis=-2, keepdims=True)
+        U = U * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-30))
+    return jnp.clip(U, U_lo, U_hi)
+
+
 def _project_cuts(U, U_lo, U_hi, cut_x, cut_lo, cut_hi, cut_mask, sweeps=8):
     """Cyclic projections onto box ∩ per-cut v-intervals ∩ column balls.
 
@@ -108,7 +125,15 @@ def make_altmin(n: int, m: int, k: int, gamma: float, *, max_iters: int = 100,
     ustep_b = jax.vmap(u_step_unconstrained, in_axes=(0, None, None, None))
 
     def run(A, mask, U_init, U_lo, U_hi, cut_x=None, cut_lo=None,
-            cut_hi=None, cut_mask=None):
+            cut_hi=None, cut_mask=None, box_on=None):
+        """``box_on`` (optional, (B,)): per-slot switch — slots with
+        box_on > 0 project each U iterate onto the node box ∩ column
+        balls (the McCormick-path tree-node locality mode, reference
+        :2095-2171); other slots keep the norm-cap-only projection (the
+        root multi-restart mode, where box clipping can destroy
+        mirrored-sign solutions; see _project_U).  Per-slot so the driver
+        can run box-local and global replicas of the same node in ONE
+        batch and keep the better incumbent."""
         with_cuts = cut_x is not None
         A = A.astype(dtype)
         mask = mask.astype(dtype)
@@ -134,6 +159,12 @@ def make_altmin(n: int, m: int, k: int, gamma: float, *, max_iters: int = 100,
             if with_cuts:
                 U_new = _project_cuts(
                     U_new, U_lo, U_hi, cut_x, cut_lo, cut_hi, cut_mask
+                )
+            elif box_on is not None:
+                U_new = jnp.where(
+                    box_on[:, None, None] > 0,
+                    _project_box(U_new, U_lo, U_hi),
+                    _project_U(U_new, U_lo, U_hi),
                 )
             else:
                 U_new = _project_U(U_new, U_lo, U_hi)

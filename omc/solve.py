@@ -1404,6 +1404,7 @@ def matrix_completion_branchandbound(
             # rule; adding valid inequalities can only tighten the node.
             if (
                 use_shor and cfg.add_Shor_valid_inequalities_iterative
+                and not os.environ.get("OMC_NO_STALL_GROWTH")  # A/B ablation
                 and node.refines < cfg.max_refines
                 and node.Shor_info is not None
                 and rng.random() < _decayed_probability(
@@ -1455,7 +1456,52 @@ def matrix_completion_branchandbound(
                 Yi = out["Y"][sel_of[i]].astype(np.float64)
                 w, V = np.linalg.eigh(0.5 * (Yi + Yi.T))
                 U_init_m[j] = V[:, ::-1][:, :k]
-            if use_mccormick or all(not work[i].cuts for i in altmin_marked):
+            if use_mccormick:
+                # node-box-local altmin (reference's McCormick altmin
+                # U-model enforces the node box + column SOCs, ref
+                # :2095-2171) PLUS a global replica per node: the local
+                # run searches inside the node's bisection box (the
+                # reference's locality); the global run keeps the
+                # unconstrained projection, which finds mirrored-sign
+                # optima the box clip destroys; the better objective per
+                # node wins (both are valid incumbents).  Chunked so the
+                # local+global pair always fits one batch bucket.
+                parts = []
+                half = max(1, B // 2)
+                for s0 in range(0, len(altmin_marked), half):
+                    ids = altmin_marked[s0 : s0 + half]
+                    nc = len(ids)
+                    Ba = _b_bucket(2 * nc, B)
+                    sel_i = np.minimum(np.arange(Ba) % max(nc, 1), nc - 1)
+                    is_local = (np.arange(Ba) < nc).astype(np_dtype)
+                    lo_b = np.stack(
+                        [work[ids[t]].U_lower for t in sel_i]
+                    )
+                    hi_b = np.stack(
+                        [work[ids[t]].U_upper for t in sel_i]
+                    )
+                    r = altmin_fn(
+                        A_dev, mask_dev,
+                        jnp.asarray(U_init_m[s0 + sel_i], dtype=dtype),
+                        jnp.asarray(lo_b, dtype=dtype),
+                        jnp.asarray(hi_b, dtype=dtype),
+                        box_on=jnp.asarray(is_local),
+                    )
+                    r_obj = np.asarray(r.objective, np.float64)
+                    pick = np.where(
+                        r_obj[:nc] <= r_obj[nc : 2 * nc],
+                        np.arange(nc), np.arange(nc, 2 * nc),
+                    )
+                    parts.append((
+                        np.asarray(r.U, np.float64)[pick],
+                        np.asarray(r.V, np.float64)[pick],
+                        np.asarray(r.converged)[pick],
+                        np.asarray(r.n_iters)[pick],
+                    ))
+                am_U, am_V, am_conv, am_iters = (
+                    np.concatenate(p, axis=0) for p in zip(*parts)
+                )
+            elif all(not work[i].cuts for i in altmin_marked):
                 am_U, am_V, am_conv, am_iters = run_altmin(U_init_m)
             else:
                 # cut-constrained U-step (reference lines 2048-2092): the
