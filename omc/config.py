@@ -57,7 +57,12 @@ class SolverConfig:
     sdp_method: str = "admm"  # "admm" (production) | "pdhg" (reference)
     sdp_iters: int = 400  # solver iterations per relaxation super-step
     sdp_omega: float = 3.0  # PDHG primal/dual step balance
-    sdp_rho: float = 0.025  # ADMM penalty parameter
+    # ADMM penalty parameter; None => size-scaled auto value
+    # min(0.025, 62.5 / (n*m)) — equal to the long-standing 0.025 tuning
+    # at the 50x50 headline size and scaled down ~1/(n m) for larger
+    # problems (measured on rank-1 100x100 Shor: rho 0.00625 reaches in
+    # 120 s a bound the 0.025 default had not reached in 600 s)
+    sdp_rho: Optional[float] = None
     # the McCormick relaxation (equality orthogonality rows) converges much
     # faster with a large penalty; measured sweep in tests/test_mccormick.py
     sdp_rho_mccormick: float = 10.0
@@ -77,6 +82,12 @@ class SolverConfig:
     # computed bound stayed below its inherited LB (the solver is
     # oscillating, not catching up; splitting keeps the monotone LB)
     max_behind_refines: int = 3
+    # iterative-Shor growth rounds per node at refinement stalls (each
+    # growth strengthens the node in place with its top violated minors
+    # and RESETS the refinement budget — the strengthened relaxation is a
+    # new solve and deserves fresh visits); splitting happens only when
+    # growth rounds or fresh violated minors run out
+    update_Shor_max_growths: int = 8
     # rho portfolio: on REFINEMENT visits (a node whose first solve did
     # not close it), fill the padded batch slots with REPLICAS of the live
     # nodes running at these multiples of their current ADMM penalty;

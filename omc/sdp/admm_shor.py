@@ -654,8 +654,23 @@ def safe_dual_bound_shor(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya, yb,
     coef_v3 = _scatter_add(xp, coef_v3, bidx, sb.iv3,
                            -2.0 * (S5[..., 1, 4] + S5[..., 2, 3]))
 
-    x_term = -R_X * xp.sum(xp.abs(coef_X), axis=-1)
-    w_term = Wmax * xp.sum(xp.minimum(coef_W, 0.0), axis=-1)
+    # Joint per-coordinate infimum over the kept set
+    #   {(X, W): |X| <= R_X, X^2 <= W <= Wmax}
+    # of  coef_W * W + coef_X * X.  The model enforces W >= X^2 at EVERY
+    # coordinate (RSOC rows on the complement, the [1 X; X W] principal
+    # minor of the 5x5 blocks on minor coordinates), and master points
+    # have W = X^2 <= 2 gamma ub, so the set is valid.  coef_W > 0 pulls
+    # W down to X^2, leaving an exact clamped quadratic in X — the same
+    # tightness as the base bound's X-block — instead of the decoupled
+    # -R_X * |coef_X| penalty, which amplifies any dual noise by R_X
+    # (~1e2 at production scales) on every one of n*m coordinates.
+    aW = coef_W
+    bX = coef_X
+    denom = xp.maximum(aW, 1e-30)
+    Xstar = xp.clip(-bX / (2.0 * denom), -R_X, R_X)
+    val_pos = aW * Xstar * Xstar + bX * Xstar
+    val_neg = aW * Wmax - xp.abs(bX) * R_X
+    xw_term = xp.sum(xp.where(aW > 0, val_pos, val_neg), axis=-1)
     v_term = -Vmax * (
         xp.sum(xp.abs(coef_v1), axis=-1)
         + xp.sum(xp.abs(coef_v2), axis=-1)
@@ -670,7 +685,7 @@ def safe_dual_bound_shor(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya, yb,
         + cut_const
     )
 
-    lb = y_term + u_term + th_term + x_term + w_term + v_term + const
+    lb = y_term + u_term + th_term + xw_term + v_term + const
     if margin_rel is None:
         margin_rel = margin_rel_default(xp, A.dtype)
     scale = (

@@ -307,6 +307,12 @@ def matrix_completion_branchandbound(
     rng = np.random.default_rng(cfg.seed)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     np_dtype = np.float64 if cfg.dtype == "float64" else np.float32
+    # ADMM penalty: explicit knob wins; otherwise size-scaled (see
+    # SolverConfig.sdp_rho)
+    rho_base = (
+        cfg.sdp_rho if cfg.sdp_rho is not None
+        else min(0.025, 62.5 / float(n * m))
+    )
     verbosity = cfg.verbosity
 
     printlist: List[str] = []
@@ -750,14 +756,14 @@ def matrix_completion_branchandbound(
                 def build():
                     return _finalize(make_admm_solver(
                         n, m, k, L, gamma, iters=cfg.sdp_iters, dtype=dtype,
-                        rho=cfg.sdp_rho, alpha=cfg.sdp_alpha, sX=sX, sT=sT,
+                        rho=rho_base, alpha=cfg.sdp_alpha, sX=sX, sT=sT,
                         jit=False, check_every=cfg.sdp_check_every,
                         halpern=cfg.sdp_halpern, ema_iters=cfg.sdp_ema_iters,
                     ), extra_sharded=2)
 
                 if mesh is None:
                     key = ("dc", n, m, k, L, gamma, cfg.sdp_iters, cfg.dtype,
-                           cfg.sdp_rho, cfg.sdp_alpha, sX, sT,
+                           rho_base, cfg.sdp_alpha, sX, sT,
                            cfg.sdp_check_every, cfg.sdp_halpern,
                            cfg.sdp_ema_iters)
                     solvers[L] = _memo_program(key, build)
@@ -799,16 +805,16 @@ def matrix_completion_branchandbound(
         if use_shor_k:
             return init_shor_k_state(
                 Bb, n, m, k, L, M5, n * m, dtype=dtype, sX=sX, sT=sT,
-                rho=cfg.sdp_rho, **kw
+                rho=rho_base, **kw
             )
         if use_shor:
             return init_shor_state(
                 Bb, n, m, k, L, M5, n * m, dtype=dtype, sX=sX, sT=sT,
-                rho=cfg.sdp_rho, **kw
+                rho=rho_base, **kw
             )
         if cfg.sdp_method == "admm":
             return init_admm_state(
-                Bb, n, m, k, L, dtype=dtype, sX=sX, sT=sT, rho=cfg.sdp_rho, **kw
+                Bb, n, m, k, L, dtype=dtype, sX=sX, sT=sT, rho=rho_base, **kw
             )
         return init_state(Bb, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
 
@@ -845,7 +851,7 @@ def matrix_completion_branchandbound(
         if jit_key not in solvers:
             gkey = ("template", Bb, L, M5, n, m, k, cfg.dtype, sX, sT,
                     use_mccormick, use_shor, use_shor_k, cfg.sdp_method,
-                    cfg.sdp_rho, cfg.sdp_rho_mccormick)
+                    rho_base, cfg.sdp_rho_mccormick)
             solvers[jit_key] = _memo_program(gkey, lambda: _jax.jit(
                 lambda X0, Y0, Th0, U0: _template(Bb, L, M5, X0, Y0, Th0, U0)
             ))
@@ -1384,6 +1390,35 @@ def matrix_completion_branchandbound(
                 and (behind or movement > cfg.refine_frac * local_gap)
             ):
                 node.refines += 1
+                # incumbent candidate from the tightening relaxation: the
+                # reference only harvests incumbents from master-feasible
+                # solutions and altmin runs, but a refining node's Y is
+                # the best available hint at the optimum's column space —
+                # rounding + polishing it costs one host eigh per visit
+                # and directly lowers ub_bar (which tightens every
+                # early-exit target).  Gated like altmin.
+                if cfg.altmin_flag and rng.random() < _decayed_probability(
+                    node.depth, cfg.max_altmin_probability,
+                    cfg.min_altmin_probability,
+                    cfg.altmin_probability_decay_rate,
+                ):
+                    t_pol = time.time()
+                    obj_r, X_r, U_r = _round_to_incumbent(
+                        out["Y"][sel], A, mask, gamma, k
+                    )
+                    obj_p, X_p, U_p = _polish_incumbent(
+                        X_r, A, mask, gamma, k, iters=8
+                    )
+                    if obj_p < obj_r:
+                        obj_r, X_r, U_r = obj_p, X_p, U_p
+                    solve_time_polish += time.time() - t_pol
+                    if obj_r < tree.best_upper_bound:
+                        tree.best_upper_bound = obj_r
+                        update_solution(
+                            obj_r, U_r @ U_r.T, U_r, X_r,
+                            time.time() - start_time,
+                        )
+                        add_update()
                 # warm-start state stays in last_solve (on device); it is
                 # flushed to the host cache lazily only if needed later
                 tree.requeue(node, lb_i)
@@ -1405,7 +1440,7 @@ def matrix_completion_branchandbound(
             if (
                 use_shor and cfg.add_Shor_valid_inequalities_iterative
                 and not os.environ.get("OMC_NO_STALL_GROWTH")  # A/B ablation
-                and node.refines < cfg.max_refines
+                and node.growths < cfg.update_Shor_max_growths
                 and node.Shor_info is not None
                 and rng.random() < _decayed_probability(
                     node.depth,
@@ -1431,7 +1466,12 @@ def matrix_completion_branchandbound(
                             n, m, merged
                         ),
                     )
-                    node.refines += 1
+                    # the strengthened relaxation is a NEW solve: reset
+                    # the refinement budget so the minors actually get
+                    # the visits to tighten the bound (growth rounds are
+                    # capped separately by update_Shor_max_growths)
+                    node.growths += 1
+                    node.refines = 0
                     node.behind_streak = 0
                     tree.requeue(node, lb_i)
                     continue

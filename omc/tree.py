@@ -56,6 +56,10 @@ class BBNode:
     cuts: Optional[List[DisjunctiveCut]] = None  # None => McCormick path
     Shor_info: Optional[ShorInfo] = None
     refines: int = 0  # bound-refinement visits (TPU-native, see BBTree.requeue)
+    # iterative-Shor growth rounds applied to THIS node at refinement
+    # stalls (each growth resets the refinement budget; see omc/solve.py).
+    # Host-local like the warm-start state: migration resets it.
+    growths: int = 0
     # consecutive visits whose computed bound stayed BELOW the inherited
     # LB: refinement is only worth continuing while the solver is still
     # catching up; a persistent streak means the oscillating dual never
