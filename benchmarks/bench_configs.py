@@ -176,9 +176,12 @@ def config4():
     ub_bar = 0.5 * float(np.sum(mask * A * A))
     solver = make_admm_solver(
         n, m, k, L, gamma, iters=iters, dtype=dtype, rho=0.03,
-        sX=max(1.0, float(np.abs(A).max())), sT=1.0, check_every=iters,
+        check_every=iters,
     )
-    state = init_admm_state(B_dev, n, m, k, L, dtype=dtype)
+    state = init_admm_state(
+        B_dev, n, m, k, L, dtype=dtype,
+        sX=max(1.0, float(np.abs(A).max())), sT=1.0, rho=0.03,
+    )
     A_d = jnp.asarray(A, dtype)
     m_d = jnp.asarray(mask, dtype)
 

@@ -37,6 +37,10 @@ class AltminResult(NamedTuple):
     objective: jnp.ndarray  # (B,)
     converged: jnp.ndarray  # (B,) bool
     n_iters: jnp.ndarray  # (B,) int32
+    # per-iteration objective history, padded with +inf past n_iters — the
+    # reference returns the full objective list (lines 2249-2278) and its
+    # printout shows first/last values (lines 2281-2328)
+    obj_trace: jnp.ndarray  # (B, max_iters)
 
 
 def _objective(U, V, A, mask, gamma):
@@ -44,6 +48,33 @@ def _objective(U, V, A, mask, gamma):
     fit = 0.5 * jnp.sum(jnp.where(mask > 0, (X - A) ** 2, 0.0), axis=(-2, -1))
     reg = (0.5 / gamma) * jnp.sum(X * X, axis=(-2, -1))
     return fit + reg
+
+
+def _project_pairs(U):
+    """Project onto the pairwise SOC rows ``||U_j1 +- U_j2|| <= sqrt(2)``
+    (j1 < j2) — the reference's SOC relaxation of the 2x2 minors of
+    ``U'U <= I`` in its disjunctive-path altmin U-model
+    (`/root/reference/src/OptimalMatrixCompletion.jl:2029-2045`).  In the
+    rotated frame p = (a+b)/sqrt(2), q = (a-b)/sqrt(2) the two constraints
+    decouple into ||p|| <= 1 and ||q|| <= 1, so the joint projection for
+    one pair is two independent norm clips.  No-op for k < 2."""
+    k = U.shape[-1]
+    if k < 2:
+        return U
+    s2 = jnp.sqrt(jnp.asarray(2.0, U.dtype))
+    for j1 in range(k):
+        for j2 in range(j1 + 1, k):
+            a = U[..., j1]
+            b = U[..., j2]
+            p = (a + b) / s2
+            q = (a - b) / s2
+            np_ = jnp.linalg.norm(p, axis=-1, keepdims=True)
+            nq_ = jnp.linalg.norm(q, axis=-1, keepdims=True)
+            p = p * jnp.minimum(1.0, 1.0 / jnp.maximum(np_, 1e-30))
+            q = q * jnp.minimum(1.0, 1.0 / jnp.maximum(nq_, 1e-30))
+            U = U.at[..., j1].set((p + q) / s2)
+            U = U.at[..., j2].set((p - q) / s2)
+    return U
 
 
 def _project_U(U, U_lo, U_hi):
@@ -60,7 +91,9 @@ def _project_U(U, U_lo, U_hi):
     (reference lines 920-927)."""
     del U_lo, U_hi
     nrm = jnp.linalg.norm(U, axis=-2, keepdims=True)
-    return U * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-30))
+    U = U * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-30))
+    # pairwise SOC rows of the disjunctive-path U-model (ref :2029-2045)
+    return _project_pairs(U)
 
 
 def _project_box(U, U_lo, U_hi, sweeps: int = 4):
@@ -111,6 +144,8 @@ def _project_cuts(U, U_lo, U_hi, cut_x, cut_lo, cut_hi, cut_mask, sweeps=8):
         U, _ = jax.lax.scan(slab, U, jnp.arange(L))
         nrm = jnp.linalg.norm(U, axis=-2, keepdims=True)
         U = U * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-30))
+        # pairwise SOC rows (ref :2029-2045) join the cut-path POCS sweep
+        U = _project_pairs(U)
         return U, None
 
     U, _ = jax.lax.scan(sweep, U, None, length=sweeps)
@@ -144,6 +179,7 @@ def make_altmin(n: int, m: int, k: int, gamma: float, *, max_iters: int = 100,
             U: jnp.ndarray
             V: jnp.ndarray
             obj_hist: jnp.ndarray  # (B, 6) ring of recent objectives
+            obj_trace: jnp.ndarray  # (B, max_iters) full objective history
             obj_cur: jnp.ndarray  # (B,)
             done: jnp.ndarray  # (B,) bool
             conv: jnp.ndarray  # (B,) bool
@@ -180,9 +216,13 @@ def make_altmin(n: int, m: int, k: int, gamma: float, *, max_iters: int = 100,
             sel = lambda new, old: jnp.where(
                 upd.reshape((B,) + (1,) * (new.ndim - 1)), new, old
             )
+            trace = c.obj_trace.at[:, c.t].set(
+                jnp.where(upd, obj_new, jnp.inf)
+            )
             return Carry(
                 U=sel(U_new, c.U), V=sel(V_new, c.V),
                 obj_hist=jnp.where(upd[:, None], hist, c.obj_hist),
+                obj_trace=trace,
                 obj_cur=jnp.where(upd, obj_new, c.obj_cur),
                 done=done, conv=jnp.logical_or(c.conv, newly_conv),
                 iters=c.iters + upd.astype(jnp.int32), t=c.t + 1,
@@ -191,12 +231,14 @@ def make_altmin(n: int, m: int, k: int, gamma: float, *, max_iters: int = 100,
         init = Carry(
             U=U0, V=jnp.zeros((B, k, m), dtype),
             obj_hist=jnp.full((B, 6), jnp.inf, dtype),
+            obj_trace=jnp.full((B, max_iters), jnp.inf, dtype),
             obj_cur=jnp.full((B,), 1e10, dtype),
             done=jnp.zeros((B,), bool), conv=jnp.zeros((B,), bool),
             iters=jnp.zeros((B,), jnp.int32), t=jnp.asarray(0, jnp.int32),
         )
         c = jax.lax.while_loop(cond, step, init)
         obj = _objective(c.U, c.V, A, mask, gamma)
-        return AltminResult(U=c.U, V=c.V, objective=obj, converged=c.conv, n_iters=c.iters)
+        return AltminResult(U=c.U, V=c.V, objective=obj, converged=c.conv,
+                            n_iters=c.iters, obj_trace=c.obj_trace)
 
     return jax.jit(run)

@@ -87,14 +87,21 @@ def alternating_minimization(
     )
     U = np.asarray(res.U[0], np.float64)
     V = np.asarray(res.V[0], np.float64)
+    # the reference returns the per-iteration objective list (reference
+    # lines 2249-2278); the trace is padded with +inf past n_iters
+    n_it = int(res.n_iters[0])
+    trace = np.asarray(res.obj_trace[0], np.float64)[:n_it]
+    objectives = [float(v) for v in trace if np.isfinite(v)]
+    if not objectives:
+        objectives = [float(res.objective[0])]
     return {
         "converged": bool(res.converged[0]),
         "U": U,
         "V": V,
         "solve_time": time.time() - t0,
-        "n_iters": int(res.n_iters[0]),
+        "n_iters": n_it,
         "max_iters": max_iters,
-        "objectives": [float(res.objective[0])],
+        "objectives": objectives,
     }
 
 
@@ -156,11 +163,13 @@ def matrix_completion_SDP_relaxation(
     t0 = time.time()
     if not use_disjunctive_cuts:
         solve = make_mccormick_solver(
-            n, m, k, gamma, iters=iters, dtype=jdtype, sX=sX, sT=sT, rho=10.0
+            n, m, k, gamma, iters=iters, dtype=jdtype, rho=10.0
         )
         lo = jnp.asarray(node.U_lower, jdtype)[None]
         hi = jnp.asarray(node.U_upper, jdtype)[None]
-        state0 = init_mc_state(1, n, m, k, dtype=jdtype, sX=sX, sT=sT)
+        state0 = init_mc_state(
+            1, n, m, k, dtype=jdtype, sX=sX, sT=sT, rho=10.0
+        )
         _, out = solve(A_dev, mask_dev, MCBatch(U_lo=lo, U_hi=hi), ub_bar, state0)
         out = {key: np.asarray(val) for key, val in out.items()}
         lbs = host_certified_bound_mc(
@@ -179,7 +188,6 @@ def matrix_completion_SDP_relaxation(
                 )
                 solve = make_shor_solver(
                     n, m, L, M5, n * m, gamma, iters=iters, dtype=jdtype,
-                    sX=sX, sT=sT,
                 )
                 state0 = init_shor_state(
                     1, n, m, k, L, M5, n * m, dtype=jdtype, sX=sX, sT=sT
@@ -208,7 +216,6 @@ def matrix_completion_SDP_relaxation(
                 )
                 solve = make_shor_k_solver(
                     n, m, k, L, M5, n * m, gamma, iters=iters, dtype=jdtype,
-                    sX=sX, sT=sT,
                 )
                 state0 = init_shor_k_state(
                     1, n, m, k, L, M5, n * m, dtype=jdtype, sX=sX, sT=sT
@@ -224,10 +231,11 @@ def matrix_completion_SDP_relaxation(
             W = out["W"][0].astype(np.float64)
         else:
             solve = make_admm_solver(
-                n, m, k, L, gamma, iters=iters, dtype=jdtype, sX=sX, sT=sT,
-                rho=0.03,
+                n, m, k, L, gamma, iters=iters, dtype=jdtype, rho=0.03,
             )
-            state0 = init_admm_state(1, n, m, k, L, dtype=jdtype, sX=sX, sT=sT)
+            state0 = init_admm_state(
+                1, n, m, k, L, dtype=jdtype, sX=sX, sT=sT, rho=0.03
+            )
             _, out = solve(A_dev, mask_dev, batch, ub_bar, state0)
             out = {key: np.asarray(val) for key, val in out.items()}
             lbs = host_certified_bound(A, mask, batch, out, gamma, k, ub_bar)

@@ -89,22 +89,30 @@ def node_wire_size(n: int, k: int, Lmax: int, Mmax: int = 0,
             + state_spec_floats(state_spec))
 
 
-def _pack_state(vec: np.ndarray, o: int, leaves, state_spec) -> None:
+def _pack_state(vec: np.ndarray, o: int, leaves, state_spec) -> int:
     """Write a warm-start state slice into the wire at offset ``o``.
 
     Each leaf is fitted to its spec shape: exact shapes copy verbatim; a
     leaf differing only in the LEADING axis (a smaller/larger cut or minor
     capacity bucket) is row-truncated / zero-padded — the same lossless
     convention as ``omc.sdp.relax.apply_warm_slices``; structurally
-    incompatible leaves stay zero (the cone-slot init value)."""
-    vec[o] = 1.0
+    incompatible leaves stay zero (the cone-slot init value).  Returns the
+    number of leaves that could NOT be fitted; when more than half the
+    leaves are incompatible the presence flag is left 0 (ship no state at
+    all) — a receiver warm-starting from a mostly-zeroed dual state is
+    worse off than starting from its own incumbent template, and the
+    silent partial zero-fill would mask the structural mismatch."""
+    flag_o = o
     o += 1
+    n_bad = 0
     for li, shape in enumerate(state_spec):
         sz = int(np.prod(shape, dtype=np.int64))
+        fitted_ok = False
         if li < len(leaves):
             v = np.asarray(leaves[li], np.float64)
             if v.shape == tuple(shape):
                 vec[o : o + sz] = v.ravel()
+                fitted_ok = True
             elif (
                 v.ndim == len(shape) and len(shape) >= 1
                 and v.shape[1:] == tuple(shape)[1:]
@@ -113,7 +121,12 @@ def _pack_state(vec: np.ndarray, o: int, leaves, state_spec) -> None:
                 r = min(shape[0], v.shape[0])
                 fitted[:r] = v[:r]
                 vec[o : o + sz] = fitted.ravel()
+                fitted_ok = True
+        if not fitted_ok:
+            n_bad += 1
         o += sz
+    vec[flag_o] = 0.0 if 2 * n_bad > len(state_spec) else 1.0
+    return n_bad
 
 
 def _unpack_state(vec: np.ndarray, o: int, state_spec, compress=np.float32):
@@ -133,7 +146,7 @@ def _unpack_state(vec: np.ndarray, o: int, state_spec, compress=np.float32):
 
 def serialize_node(node: BBNode, prio_lb: float, n: int, k: int,
                    Lmax: int, Mmax: int = 0, state=None,
-                   state_spec=None) -> np.ndarray:
+                   state_spec=None, count_refit: bool = False):
     cuts = node.cuts or []
     if len(cuts) > Lmax:
         raise ValueError(f"node has {len(cuts)} cuts > wire capacity {Lmax}")
@@ -170,12 +183,13 @@ def serialize_node(node: BBNode, prio_lb: float, n: int, k: int,
         o = _HDR + 2 * n * k + Lmax * (n + 2 * k)
         flat = np.asarray(minors, dtype=np.float64).ravel()
         vec[o : o + flat.size] = flat
+    n_bad = 0
     if state_spec and state is not None:
-        _pack_state(
+        n_bad = _pack_state(
             vec, _HDR + 2 * n * k + Lmax * (n + 2 * k) + 4 * Mmax,
             state, state_spec,
         )
-    return vec
+    return (vec, n_bad) if count_refit else vec
 
 
 def deserialize_node(vec: np.ndarray, n: int, k: int, Lmax: int,
@@ -287,6 +301,10 @@ class DistContext:
         self.rebalance_every = max(1, rebalance_every)
         self.round = 0
         self._global_lb = -np.inf
+        # observability: warm-migration state leaves that failed to fit the
+        # wire spec (zero-filled or dropped); a nonzero count means the
+        # migration benefit is silently degraded by shape mismatches
+        self.state_refit_leaves = 0
 
     # -- collectives -----------------------------------------------------
     def _allgather(self, vec: np.ndarray) -> np.ndarray:
@@ -359,9 +377,11 @@ class DistContext:
         cnt = np.zeros((max_offer,))
         for i, (prio, node) in enumerate(mine):
             st = state_get(node.node_id) if (state_spec and state_get) else None
-            payload[i] = serialize_node(
-                node, prio, n, k, Lmax, Mmax, state=st, state_spec=state_spec
+            payload[i], n_bad = serialize_node(
+                node, prio, n, k, Lmax, Mmax, state=st, state_spec=state_spec,
+                count_refit=True,
             )
+            self.state_refit_leaves += n_bad
             cnt[i] = 1.0
         g_pay = self._allgather(payload)  # (P, max_offer, D)
         g_cnt = self._allgather(cnt)  # (P, max_offer)

@@ -67,6 +67,13 @@ class ADMMState(NamedTuple):
     Th: jnp.ndarray
     U: jnp.ndarray
     rho: jnp.ndarray  # (B,) per-node ADMM penalty (adapted in-flight)
+    # block variable scales (X = sX * Xs, Theta = sT * Ths), carried as
+    # per-slot RUNTIME data rather than trace-time constants so ONE
+    # compiled program per (n, m, k, L, B) serves EVERY instance — the
+    # persistent compile cache hits across problems (round-4 verdict:
+    # instance-baked scales made every program instance-specific)
+    sX: jnp.ndarray  # (B,)
+    sT: jnp.ndarray  # (B,)
 
 
 def init_admm_state(B, n, m, k, L, dtype=jnp.float32, *, sX=1.0, sT=1.0,
@@ -77,7 +84,10 @@ def init_admm_state(B, n, m, k, L, dtype=jnp.float32, *, sX=1.0, sT=1.0,
     def prim(val, shape, scale):
         if val is None:
             return z(*shape)
-        return jnp.broadcast_to(jnp.asarray(val, dtype=dtype) / scale, shape)
+        s = jnp.asarray(scale, dtype)
+        if s.ndim:  # (B,) per-slot scales -> (B, 1, ..., 1)
+            s = s.reshape(s.shape + (1,) * (len(shape) - s.ndim))
+        return jnp.broadcast_to(jnp.asarray(val, dtype=dtype) / s, shape)
 
     return ADMMState(
         w1=z(B, n + m, n + m), w2=z(B, n + k, n + k), w3=z(B, n, n), w4=z(B),
@@ -89,6 +99,8 @@ def init_admm_state(B, n, m, k, L, dtype=jnp.float32, *, sX=1.0, sT=1.0,
         X=prim(X0, (B, n, m), sX), Y=prim(Y0, (B, n, n), 1.0),
         Th=prim(Th0, (B, m, m), sT), U=prim(U0, (B, n, k), 1.0),
         rho=jnp.full((B,), rho, dtype=dtype),
+        sX=jnp.broadcast_to(jnp.asarray(sX, dtype), (B,)),
+        sT=jnp.broadcast_to(jnp.asarray(sT, dtype), (B,)),
     )
 
 
@@ -245,7 +257,7 @@ def _V_apply(batch: NodeBatch, s, n, k):
 
 def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                      iters: int = 400, dtype=jnp.float32, rho: float = 1.0,
-                     alpha: float = 1.6, sX: float = 1.0, sT: float = 1.0,
+                     alpha: float = 1.6,
                      psd_method: str = "auto", jit: bool = True,
                      adapt_rho: bool = False, check_every: int = 2000,
                      halpern: bool = False, ema_iters: int = 1500):
@@ -281,6 +293,10 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
         mask = mask.astype(dtype)
         B = batch.cut_mask.shape[0]
         cm = batch.cut_mask
+        # block variable scales: per-slot runtime data from the state (see
+        # ADMMState.sX) — every use below broadcasts over the batch axis
+        sX = state.sX[:, None, None]
+        sT = state.sT[:, None, None]
         # static merge decision (see the w-step): latency-bound iff the
         # per-matmul work is below ~the launch-latency x MXU-rate product
         merge_psd = psd_method == "ns" and B * (n + m) ** 3 <= int(1e8)
@@ -288,9 +304,9 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
         G1 = _gram1(batch, k, dtype)
         G1c = jax.lax.linalg.cholesky(G1)
 
-        # linear objective coefficients
-        cX = -sX * (mask * A)  # (n, m)
-        cTh = (sT * 0.5 / gamma) * jnp.eye(m, dtype=dtype)
+        # linear objective coefficients (per-slot through the scales)
+        cX = -sX * (mask * A)[None]  # (B, n, m)
+        cTh = (sT * 0.5 / gamma) * jnp.eye(m, dtype=dtype)[None]
 
         # constant slot offsets b (affine part of the forward map)
         zeros = (jnp.zeros((B, n, m), dtype), jnp.zeros((B, n, n), dtype),
@@ -345,7 +361,7 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                 n, m, k, sX, sT,
             )
             Xs, Y, Ths, U = solve_z(
-                rho_b, r3 * rY, r3 * rX - cX[None], r3 * rTh - cTh[None],
+                rho_b, r3 * rY, r3 * rX - cX, r3 * rTh - cTh,
                 r3 * rU,
             )
             Y = 0.5 * (Y + jnp.swapaxes(Y, -1, -2))
@@ -435,6 +451,7 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                 usoc=usoc * r3n, ubox=ubox * r3n,
                 ua=ua * r3n, ub=ub * r3n, uc=uc * resc[:, None],
                 X=Xs, Y=Y, Th=Ths, U=U, rho=rho_new,
+                sX=st.sX, sT=st.sT,
             )
 
         # EMA-averaged dual output with best-chunk tracking: low-precision
@@ -454,6 +471,15 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
         with_target = target is not None
         if group is None:
             group = jnp.arange(B, dtype=jnp.int32)
+        # Under a mesh the solver body runs per-shard (shard_map) while the
+        # driver's group ids are GLOBAL slot indices: the shard's slice of
+        # a contiguous id block starts at a nonzero offset, so scatter
+        # targets would land out of range (silently dropped) and the
+        # ANY-replica-clears semantics degrade to per-slot clearing.
+        # Re-basing by the shard's minimum id restores in-range local
+        # indices for contiguous blocks (identity groups under mesh;
+        # portfolio groups are single-shard only) — a no-op off-mesh.
+        group = group - jnp.min(group)
         beta = jnp.asarray(1.0 / max(ema_iters, 1), dtype)
 
         # derive the accumulators from state fields so they inherit any

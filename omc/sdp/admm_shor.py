@@ -129,18 +129,23 @@ def _scatter_add(shape_ref, idx, val):
 
 def _forward_shor(sb: ShorBatch, Xs, Ws, v1s, v2s, v3s, m, sX, sW):
     """Shor slot values: 5x5 minors, RSOC rows, and the link residual part
-    involving W (the Theta part is added by the caller)."""
+    involving W (the Theta part is added by the caller).  ``sX``/``sW``
+    are per-slot (B,) runtime scales (or python scalars in tests)."""
     B = Xs.shape[0]
-    Xf = (sX * Xs).reshape(B, -1)
-    Wf = (sW * Ws).reshape(B, -1)
+    sX = jnp.reshape(jnp.asarray(sX, Xs.dtype), (-1,))
+    sW = jnp.reshape(jnp.asarray(sW, Xs.dtype), (-1,))
+    s3x, s3w = sX[:, None, None], sW[:, None, None]
+    s2w = sW[:, None]
+    Xf = (s3x * Xs).reshape(B, -1)
+    Wf = (s3w * Ws).reshape(B, -1)
     f11, f12, f21, f22 = _flat_idx(sb.minor_idx, m)
     x11, x12, x21, x22 = (_gather(Xf, f) for f in (f11, f12, f21, f22))
     w11, w12, w21, w22 = (_gather(Wf, f) for f in (f11, f12, f21, f22))
-    V1a = sW * _gather(v1s, sb.iv1a)
-    V1b = sW * _gather(v1s, sb.iv1b)
-    V2a = sW * _gather(v2s, sb.iv2a)
-    V2b = sW * _gather(v2s, sb.iv2b)
-    V3 = sW * _gather(v3s, sb.iv3)
+    V1a = s2w * _gather(v1s, sb.iv1a)
+    V1b = s2w * _gather(v1s, sb.iv1b)
+    V2a = s2w * _gather(v2s, sb.iv2a)
+    V2b = s2w * _gather(v2s, sb.iv2b)
+    V3 = s2w * _gather(v3s, sb.iv3)
     one = jnp.ones_like(x11)
     rows = [
         [one, x11, x12, x21, x22],
@@ -156,13 +161,17 @@ def _forward_shor(sb: ShorBatch, Xs, Ws, v1s, v2s, v3s, m, sX, sW):
     wr = jnp.stack(
         [0.5 * jnp.ones_like(Wf), Wf, Xf], axis=-1
     )  # (B, Ms, 3)
-    wcol = jnp.sum((sW * Ws), axis=-2)  # (B, m): sum_i W_ij
+    wcol = jnp.sum((s3w * Ws), axis=-2)  # (B, m): sum_i W_ij
     return w5, wr, wcol
 
 
 def _adjoint_shor(sb: ShorBatch, y5, yr, yl, B, n, m, sX, sW):
     """Adjoint of the Shor slots -> gradients on (Xs, Ws, v1s, v2s, v3s,
-    Th-diag contribution handled by caller)."""
+    Th-diag contribution handled by caller).  ``sX``/``sW`` are per-slot
+    (B,) runtime scales (or python scalars in tests)."""
+    sX = jnp.reshape(jnp.asarray(sX, y5.dtype), (-1,))
+    sW = jnp.reshape(jnp.asarray(sW, y5.dtype), (-1,))
+    s2x, s2w = sX[:, None], sW[:, None]
     f11, f12, f21, f22 = _flat_idx(sb.minor_idx, m)
     cm = sb.minor_mask
     y5 = y5 * cm[..., None, None]
@@ -171,31 +180,31 @@ def _adjoint_shor(sb: ShorBatch, y5, yr, yl, B, n, m, sX, sW):
     barange = jnp.arange(B)[:, None]
     # X rows/cols of the 5x5 (symmetric dual): coefficient 2*y5[0, c]
     for f, c in ((f11, 1), (f12, 2), (f21, 3), (f22, 4)):
-        gXf = gXf.at[barange, f].add(sX * 2.0 * y5[..., 0, c])
+        gXf = gXf.at[barange, f].add(s2x * 2.0 * y5[..., 0, c])
     for f, c in ((f11, 1), (f12, 2), (f21, 3), (f22, 4)):
-        gWf = gWf.at[barange, f].add(sW * y5[..., c, c])
+        gWf = gWf.at[barange, f].add(s2w * y5[..., c, c])
     gv1 = jnp.zeros_like(sb.cnt_v1)
     gv2 = jnp.zeros_like(sb.cnt_v2)
     gv3 = jnp.zeros_like(sb.cnt_v3)
-    gv1 = gv1.at[barange, sb.iv1a].add(sW * 2.0 * y5[..., 1, 2])
-    gv1 = gv1.at[barange, sb.iv1b].add(sW * 2.0 * y5[..., 3, 4])
-    gv2 = gv2.at[barange, sb.iv2a].add(sW * 2.0 * y5[..., 1, 3])
-    gv2 = gv2.at[barange, sb.iv2b].add(sW * 2.0 * y5[..., 2, 4])
+    gv1 = gv1.at[barange, sb.iv1a].add(s2w * 2.0 * y5[..., 1, 2])
+    gv1 = gv1.at[barange, sb.iv1b].add(s2w * 2.0 * y5[..., 3, 4])
+    gv2 = gv2.at[barange, sb.iv2a].add(s2w * 2.0 * y5[..., 1, 3])
+    gv2 = gv2.at[barange, sb.iv2b].add(s2w * 2.0 * y5[..., 2, 4])
     gv3 = gv3.at[barange, sb.iv3].add(
-        sW * 2.0 * (y5[..., 1, 4] + y5[..., 2, 3])
+        s2w * 2.0 * (y5[..., 1, 4] + y5[..., 2, 3])
     )
     # RSOC rows (0.5, W, X) — canonical layout: elementwise adds
     yr = yr * sb.soc_mask[..., None]
-    gWf = gWf + sW * yr[..., 1]
-    gXf = gXf + sX * yr[..., 2]
+    gWf = gWf + s2w * yr[..., 1]
+    gXf = gXf + s2x * yr[..., 2]
     # link rows: r_j = Theta_jj - sum_i W_ij -> dW_ij -= yl_j
-    gW = gWf.reshape(B, n, m) - sW * yl[:, None, :]
+    gW = gWf.reshape(B, n, m) - s2w[..., None] * yl[:, None, :]
     return gXf.reshape(B, n, m), gW, gv1, gv2, gv3
 
 
 def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
                      *, iters: int = 400, dtype=jnp.float32,
-                     alpha: float = 1.6, sX: float = 1.0, sT: float = 1.0,
+                     alpha: float = 1.6,
                      psd_method: str = "auto", jit: bool = True,
                      check_every: int = 2000, ema_iters: int = 1500):
     """Batched ADMM solver for the rank-1 relaxation with Shor valid
@@ -213,7 +222,6 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
     # pads every 5x5 matmul to a 128-lane tile; the small variant runs
     # ~2.8 ms, same schedule)
     proj_small = project_psd_ns_small if psd_method == "ns" else project_psd
-    sW = sX * sX
 
     def solve(A, mask, batch: NodeBatch, sb: ShorBatch, ub_bar,
               state: ShorADMMState, n_iters=None, target=None, group=None):
@@ -227,6 +235,13 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
         cm = batch.cut_mask
         m5m = sb.minor_mask
         socm = sb.soc_mask
+        # per-slot runtime block scales (see omc.sdp.admm.ADMMState.sX)
+        sX_f = state.core.sX  # (B,)
+        sW_f = sX_f * sX_f
+        sX = sX_f[:, None, None]
+        sT = state.core.sT[:, None, None]
+        sW = sX * sX
+        sW2 = sW_f[:, None]  # (B, 1) view for flat arrays
 
         G1 = _gram1(batch, k, dtype)
         G1c = jax.lax.linalg.cholesky(G1)
@@ -235,16 +250,16 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
 
         # objective (all linear under the W form): c'z with
         # F = 1/2 sum A^2 - sum_Omega A X + 1/2 sum_Omega W + tr(Theta)/2g
-        cX = -sX * (mask * A)
-        cW = 0.5 * sW * mask
-        cTh = (sT * 0.5 / gamma) * jnp.eye(m, dtype=dtype)
+        cX = -sX * (mask * A)[None]
+        cW = 0.5 * sW * mask[None]
+        cTh = (sT * 0.5 / gamma) * jnp.eye(m, dtype=dtype)[None]
         const_obj = 0.5 * jnp.sum(mask * A * A)
 
         dX1 = (2.0 + sb.cnt_X) * sX * sX  # D = rho * dX1
         dW1 = jnp.maximum(sb.cnt_W, 1.0) * sW * sW
-        dv1 = jnp.maximum(sb.cnt_v1, 1.0) * sW * sW
-        dv2 = jnp.maximum(sb.cnt_v2, 1.0) * sW * sW
-        dv3 = jnp.maximum(sb.cnt_v3, 1.0) * sW * sW
+        dv1 = jnp.maximum(sb.cnt_v1, 1.0) * sW2 * sW2
+        dv2 = jnp.maximum(sb.cnt_v2, 1.0) * sW2 * sW2
+        dv3 = jnp.maximum(sb.cnt_v3, 1.0) * sW2 * sW2
 
         zeros4 = (jnp.zeros((B, n, m), dtype), jnp.zeros((B, n, n), dtype),
                   jnp.zeros((B, m, m), dtype), jnp.zeros((B, n, k), dtype))
@@ -254,12 +269,12 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
                  jnp.zeros_like(state.v3))
         offs5, offsr, offsl_w = _forward_shor(sb, zshor[0], zshor[1],
                                               zshor[2], zshor[3], zshor[4],
-                                              m, sX, sW)
+                                              m, sX_f, sW_f)
 
         # valid primal boxes for stability (master-feasible ranges)
         Wmax = (2.0 * gamma * ub_bar) / sW
         Vmax = (2.0 * gamma * ub_bar) / sW
-        R_Xs = jnp.sqrt(2.0 * gamma * ub_bar) / sX
+        R_Xs = jnp.sqrt(2.0 * gamma * ub_bar).astype(dtype) / sX
 
         def body(it, st: ShorADMMState):
             c0 = st.core
@@ -282,7 +297,7 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
                 (st.w5 - st.u5 - offs5) * m5m[..., None, None],
                 (st.wr - st.ur - offsr) * socm[..., None],
                 (st.wl - st.ul),  # link offset is zero
-                B, n, m, sX, sW,
+                B, n, m, sX_f, sW_f,
             )
             # W >= 0 slot adjoint (identity row, coefficient sW)
             gW5 = gW5 + sW * (st.wp - st.up)
@@ -290,11 +305,11 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
             yl = st.wl - st.ul
             rTh_l = sT * yl[:, None, :] * jnp.eye(m, dtype=dtype)
 
-            RX = r3 * (rX + gX5) - cX[None]
+            RX = r3 * (rX + gX5) - cX
             RY = r3 * rY
-            RT = r3 * (rTh + rTh_l) - cTh[None]
+            RT = r3 * (rTh + rTh_l) - cTh
             RU = r3 * rU
-            RW = r3 * gW5 - cW[None]
+            RW = r3 * gW5 - cW
             Rv1 = r2 * gv1
             Rv2 = r2 * gv2
             Rv3 = r2 * gv3
@@ -318,13 +333,13 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
             zY = zY - vY / (3.0 * r3)
             zU = zU - vU / (4.0 * r3)
             # link columns: s_j = sT z_Theta[j,j] - sW sum_i zW[i,j]
-            s_l = sT * jnp.diagonal(zTh, axis1=-2, axis2=-1) - sW * jnp.sum(
-                zW, axis=1
-            )
+            s_l = sT[..., 0] * jnp.diagonal(zTh, axis1=-2, axis2=-1) - sW[
+                ..., 0
+            ] * jnp.sum(zW, axis=1)
             t_l = rho_b[:, None] * s_l / g_link
-            zTh = zTh - (t_l / (rho_b[:, None] * sT))[:, None, :] * jnp.eye(
-                m, dtype=dtype
-            )
+            zTh = zTh - (t_l / (rho_b[:, None] * sT[..., 0]))[
+                :, None, :
+            ] * jnp.eye(m, dtype=dtype)
             zW = zW + t_l[:, None, :] / (r3 * sW * dW1 / (sW * sW))
             # note: D_W = rho * dW1 with dW1 = cnt * sW^2; correction is
             # (-sW * t_l) / D_W = -t_l / (rho * sW * cnt); cnt = dW1 / sW^2
@@ -336,8 +351,11 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
 
             # ---- w/u-steps ----
             f = _forward(batch, Xs, Y, Ths, U, k, sX, sT)
-            f5, fr, fw_col = _forward_shor(sb, Xs, Ws, v1, v2, v3, m, sX, sW)
-            f_link = sT * jnp.diagonal(Ths, axis1=-2, axis2=-1) - fw_col
+            f5, fr, fw_col = _forward_shor(sb, Xs, Ws, v1, v2, v3, m,
+                                           sX_f, sW_f)
+            f_link = sT[..., 0] * jnp.diagonal(
+                Ths, axis1=-2, axis2=-1
+            ) - fw_col
 
             def relax_mix(fz, w):
                 return alpha * fz + (1.0 - alpha) * w
@@ -394,6 +412,7 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
                 u1=u1, u2=u2, u3=u3, u4=u4, usoc=usoc, ubox=ubox,
                 ua=ua, ub=ub, uc=uc,
                 X=Xs, Y=Y, Th=Ths, U=U, rho=rho_b,
+                sX=c0.sX, sT=c0.sT,
             )
             return ShorADMMState(core=core, W=Ws, v1=v1, v2=v2, v3=v3,
                                  w5=w5, u5=u5, wr=wr, ur=ur, wl=wl, ul=ul,
@@ -404,6 +423,15 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
         with_target = target is not None
         if group is None:
             group = jnp.arange(B, dtype=jnp.int32)
+        # Under a mesh the solver body runs per-shard (shard_map) while the
+        # driver's group ids are GLOBAL slot indices: the shard's slice of
+        # a contiguous id block starts at a nonzero offset, so scatter
+        # targets would land out of range (silently dropped) and the
+        # ANY-replica-clears semantics degrade to per-slot clearing.
+        # Re-basing by the shard's minimum id restores in-range local
+        # indices for contiguous blocks (identity groups under mesh;
+        # portfolio groups are single-shard only) — a no-op off-mesh.
+        group = group - jnp.min(group)
         beta = jnp.asarray(1.0 / max(ema_iters, 1), dtype)
 
         def zero_acc():

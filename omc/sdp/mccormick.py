@@ -259,6 +259,10 @@ class MCState(NamedTuple):
     U: jnp.ndarray  # (B, n, k)
     t: jnp.ndarray  # (B, n, q)
     rho: jnp.ndarray  # (B,)
+    # per-slot runtime block scales (see omc.sdp.admm.ADMMState.sX): one
+    # compiled program per shape serves every instance
+    sX: jnp.ndarray  # (B,)
+    sT: jnp.ndarray  # (B,)
 
 
 def init_mc_state(B, n, m, k, dtype=jnp.float32, *, sX=1.0, sT=1.0,
@@ -270,7 +274,10 @@ def init_mc_state(B, n, m, k, dtype=jnp.float32, *, sX=1.0, sT=1.0,
     def prim(val, shape, scale):
         if val is None:
             return z(*shape)
-        return jnp.broadcast_to(jnp.asarray(val, dtype=dtype) / scale, shape)
+        s = jnp.asarray(scale, dtype)
+        if s.ndim:  # (B,) per-slot scales -> (B, 1, ..., 1)
+            s = s.reshape(s.shape + (1,) * (len(shape) - s.ndim))
+        return jnp.broadcast_to(jnp.asarray(val, dtype=dtype) / s, shape)
 
     return MCState(
         w1=z(B, n + m, n + m), w2=z(B, n + k, n + k), w3=z(B, n, n), w4=z(B),
@@ -280,6 +287,8 @@ def init_mc_state(B, n, m, k, dtype=jnp.float32, *, sX=1.0, sT=1.0,
         X=prim(X0, (B, n, m), sX), Y=prim(Y0, (B, n, n), 1.0),
         Th=prim(Th0, (B, m, m), sT), U=prim(U0, (B, n, k), 1.0),
         t=z(B, n, q), rho=jnp.full((B,), rho, dtype=dtype),
+        sX=jnp.broadcast_to(jnp.asarray(sX, dtype), (B,)),
+        sT=jnp.broadcast_to(jnp.asarray(sT, dtype), (B,)),
     )
 
 
@@ -342,7 +351,6 @@ def _mc_adjoint(coef, y1, y2, y3, y4, ysoc, ybox, ymc, yorth, n, m, k, sX, sT,
 def make_mccormick_solver(n: int, m: int, k: int, gamma: float, *,
                           iters: int = 400, dtype=jnp.float32,
                           rho: float = 1.0, alpha: float = 1.6,
-                          sX: float = 1.0, sT: float = 1.0,
                           psd_method: str = "auto", jit: bool = True):
     """Build the jitted batched McCormick-relaxation ADMM solver.
 
@@ -371,6 +379,9 @@ def make_mccormick_solver(n: int, m: int, k: int, gamma: float, *,
         A = A.astype(dtype)
         mask = mask.astype(dtype)
         B = batch.U_lo.shape[0]
+        # per-slot runtime block scales (see omc.sdp.admm.ADMMState.sX)
+        sX = state.sX[:, None, None]
+        sT = state.sT[:, None, None]
         coef = mccormick_coeffs(batch.U_lo, batch.U_hi, J1, J2)
         s, c1, c2, d = coef
 
@@ -424,8 +435,8 @@ def make_mccormick_solver(n: int, m: int, k: int, gamma: float, *,
             zt = z[..., k:] / rho_b[:, None, None]
             return zU, zt
 
-        cX = -sX * (mask * A)
-        cTh = (sT * 0.5 / gamma) * jnp.eye(m, dtype=dtype)
+        cX = -sX * (mask * A)[None]
+        cTh = (sT * 0.5 / gamma) * jnp.eye(m, dtype=dtype)[None]
 
         zero5 = (jnp.zeros((B, n, m), dtype), jnp.zeros((B, n, n), dtype),
                  jnp.zeros((B, m, m), dtype), jnp.zeros((B, n, k), dtype),
@@ -457,7 +468,7 @@ def make_mccormick_solver(n: int, m: int, k: int, gamma: float, *,
                 n, m, k, sX, sT, seg_j1, seg_j2,
             )
             Xs, Y, Ths, U, t = solve_z(
-                rho_b, r3 * gX - cX[None], r3 * gY, r3 * gTh - cTh[None],
+                rho_b, r3 * gX - cX, r3 * gY, r3 * gTh - cTh,
                 r3 * gU, r3 * gt,
             )
             Y = 0.5 * (Y + jnp.swapaxes(Y, -1, -2))
@@ -500,6 +511,7 @@ def make_mccormick_solver(n: int, m: int, k: int, gamma: float, *,
                 u1=u1, u2=u2, u3=u3, u4=u4, usoc=usoc, ubox=ubox,
                 umc=umc, uorth=uorth,
                 X=Xs, Y=Y, Th=Ths, U=U, t=t, rho=rho_b,
+                sX=st.sX, sT=st.sT,
             )
 
         navg = jnp.maximum(1, ni // 4)

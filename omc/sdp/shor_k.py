@@ -275,8 +275,11 @@ def init_shor_k_state(B, n, m, k, L, M5, Ms, dtype=jnp.float32, *, sX=1.0,
     if X0 is not None:
         # split the warm primal evenly across terms (any split with the
         # right sum is feasible for the core cones)
+        s = jnp.asarray(sX, dtype)
+        if s.ndim:  # (B,) per-slot scales -> (B, 1, 1, 1)
+            s = s.reshape(s.shape + (1,) * (4 - s.ndim))
         Xt0 = jnp.broadcast_to(
-            jnp.asarray(X0, dtype)[:, None] / (sX * k), (B, k, n, m)
+            jnp.asarray(X0, dtype)[:, None] / (s * k), (B, k, n, m)
         )
     return ShorKState(
         core=core, Xt=Xt0, W=z(B, n, m), Wt=z(B, k, C), Hh=z(B, kp, C),
@@ -328,19 +331,24 @@ def _forward_shor_k(sb: ShorKBatch, Xt_s, Ws, Wts, Hs, v1s, v2s, v3s,
     B = Xt_s.shape[0]
     M5 = sb.minor_mask.shape[1]
     C = sb.coord_mask.shape[1]
-    Xf = (sX * Xt_s).reshape(B, k, -1)  # (B, k, n*m)
+    # per-slot (B,) runtime scales (or python scalars in tests)
+    sX = jnp.reshape(jnp.asarray(sX, Xt_s.dtype), (-1,))
+    sW = jnp.reshape(jnp.asarray(sW, Xt_s.dtype), (-1,))
+    s4x = sX[:, None, None, None]
+    s3w = sW[:, None, None]
+    Xf = (s4x * Xt_s).reshape(B, k, -1)  # (B, k, n*m)
     corner_flat = jnp.take_along_axis(sb.coord_flat, sb.mc.reshape(B, -1), axis=1)
     corner_flat = corner_flat.reshape(B, M5, 4)
 
     xs = [_gather_bk(Xf, corner_flat[..., c]) for c in range(4)]  # 4 x (B,k,M5)
     ws = [
-        _gather_bk(sW * Wts, sb.mc[..., c]) for c in range(4)
+        _gather_bk(s3w * Wts, sb.mc[..., c]) for c in range(4)
     ]  # Wt at the corner coords
-    V1a = _gather_bk(sW * v1s, sb.iv1a)
-    V1b = _gather_bk(sW * v1s, sb.iv1b)
-    V2a = _gather_bk(sW * v2s, sb.iv2a)
-    V2b = _gather_bk(sW * v2s, sb.iv2b)
-    V3 = _gather_bk(sW * v3s, sb.iv3)
+    V1a = _gather_bk(s3w * v1s, sb.iv1a)
+    V1b = _gather_bk(s3w * v1s, sb.iv1b)
+    V2a = _gather_bk(s3w * v2s, sb.iv2a)
+    V2b = _gather_bk(s3w * v2s, sb.iv2b)
+    V3 = _gather_bk(s3w * v3s, sb.iv3)
     one = jnp.ones_like(xs[0])
     x11, x12, x21, x22 = xs
     w11, w12, w21, w22 = ws
@@ -357,7 +365,7 @@ def _forward_shor_k(sb: ShorKBatch, Xt_s, Ws, Wts, Hs, v1s, v2s, v3s,
     # XWH block per coordinate
     Xc = _gather_bk(Xf, sb.coord_flat)  # (B, k, C)
     Xc = jnp.swapaxes(Xc, 1, 2)  # (B, C, k)
-    Wc = jnp.swapaxes(sW * Wts, 1, 2)  # (B, C, k)
+    Wc = jnp.swapaxes(s3w * Wts, 1, 2)  # (B, C, k)
     kp = Hs.shape[1]
     wx = jnp.zeros((B, C, k + 1, k + 1), dtype=Xt_s.dtype)
     wx = wx.at[..., 0, 0].set(1.0)
@@ -367,7 +375,7 @@ def _forward_shor_k(sb: ShorKBatch, Xt_s, Ws, Wts, Hs, v1s, v2s, v3s,
     wx = wx.at[..., tt + 1, tt + 1].set(Wc)
     if kp:
         t1s, t2s = _pair_indices(k)
-        Hc = jnp.swapaxes(sW * Hs, 1, 2)  # (B, C, kp)
+        Hc = jnp.swapaxes(s3w * Hs, 1, 2)  # (B, C, kp)
         t1a = jnp.asarray(t1s)
         t2a = jnp.asarray(t2s)
         wx = wx.at[..., t1a + 1, t2a + 1].set(Hc)
@@ -375,7 +383,7 @@ def _forward_shor_k(sb: ShorKBatch, Xt_s, Ws, Wts, Hs, v1s, v2s, v3s,
 
     # RSOC rows on the complement: (0.5, W, X) with X = sum_t Xt
     Xsum = jnp.sum(Xf, axis=1)  # (B, n*m)
-    Wf = (sW * Ws).reshape(B, -1)
+    Wf = (s3w * Ws).reshape(B, -1)
     wr = jnp.stack(
         [
             0.5 * jnp.ones(sb.soc_flat.shape, Xt_s.dtype),
@@ -384,11 +392,11 @@ def _forward_shor_k(sb: ShorKBatch, Xt_s, Ws, Wts, Hs, v1s, v2s, v3s,
         ],
         axis=-1,
     )
-    wcol = jnp.sum(sW * Ws, axis=-2)  # (B, m)
+    wcol = jnp.sum(s3w * Ws, axis=-2)  # (B, m)
     # W-link: W_c - sum_t Wt - 2 sum_p H on minor coordinates
     Wat = jnp.take_along_axis(Wf, sb.coord_flat, axis=1)  # (B, C)
     wwl = (
-        Wat - jnp.sum(sW * Wts, axis=1) - 2.0 * jnp.sum(sW * Hs, axis=1)
+        Wat - jnp.sum(s3w * Wts, axis=1) - 2.0 * jnp.sum(s3w * Hs, axis=1)
     ) * sb.coord_mask
     return w5, wx, wr, wcol, wwl
 
@@ -399,6 +407,11 @@ def _adjoint_shor_k(sb: ShorKBatch, y5, yx, yr, yl, ywl, B, n, m, k, kp,
     The Theta-diagonal contribution of yl is added by the caller."""
     M5 = sb.minor_mask.shape[1]
     C = sb.coord_mask.shape[1]
+    # per-slot (B,) runtime scales (or python scalars in tests)
+    sX = jnp.reshape(jnp.asarray(sX, y5.dtype), (-1,))
+    sW = jnp.reshape(jnp.asarray(sW, y5.dtype), (-1,))
+    s2x, s2w = sX[:, None], sW[:, None]
+    s3x, s3w = sX[:, None, None], sW[:, None, None]
     y5 = y5 * sb.minor_mask[..., None, None, None]
     yx = yx * sb.coord_mask[..., None, None]
     yr = yr * sb.soc_mask[..., None]
@@ -412,55 +425,55 @@ def _adjoint_shor_k(sb: ShorKBatch, y5, yx, yr, yl, ywl, B, n, m, k, kp,
     gWt = jnp.zeros((B, k, C), dtype=y5.dtype)
     for c in range(4):
         gXt = _scatter_add_bk(gXt, corner_flat[..., c],
-                              sX * 2.0 * y5k[..., 0, c + 1])
-        gWt = _scatter_add_bk(gWt, sb.mc[..., c], sW * y5k[..., c + 1, c + 1])
+                              s3x * 2.0 * y5k[..., 0, c + 1])
+        gWt = _scatter_add_bk(gWt, sb.mc[..., c],
+                              s3w * y5k[..., c + 1, c + 1])
     gv1 = jnp.zeros((B, k, sb.cnt_v1.shape[1]), dtype=y5.dtype)
     gv2 = jnp.zeros((B, k, sb.cnt_v2.shape[1]), dtype=y5.dtype)
     gv3 = jnp.zeros((B, k, sb.cnt_v3.shape[1]), dtype=y5.dtype)
-    gv1 = _scatter_add_bk(gv1, sb.iv1a, sW * 2.0 * y5k[..., 1, 2])
-    gv1 = _scatter_add_bk(gv1, sb.iv1b, sW * 2.0 * y5k[..., 3, 4])
-    gv2 = _scatter_add_bk(gv2, sb.iv2a, sW * 2.0 * y5k[..., 1, 3])
-    gv2 = _scatter_add_bk(gv2, sb.iv2b, sW * 2.0 * y5k[..., 2, 4])
+    gv1 = _scatter_add_bk(gv1, sb.iv1a, s3w * 2.0 * y5k[..., 1, 2])
+    gv1 = _scatter_add_bk(gv1, sb.iv1b, s3w * 2.0 * y5k[..., 3, 4])
+    gv2 = _scatter_add_bk(gv2, sb.iv2a, s3w * 2.0 * y5k[..., 1, 3])
+    gv2 = _scatter_add_bk(gv2, sb.iv2b, s3w * 2.0 * y5k[..., 2, 4])
     gv3 = _scatter_add_bk(gv3, sb.iv3,
-                          sW * 2.0 * (y5k[..., 1, 4] + y5k[..., 2, 3]))
+                          s3w * 2.0 * (y5k[..., 1, 4] + y5k[..., 2, 3]))
 
     # XWH adjoint
-    gXc = sX * 2.0 * yx[..., 0, 1:]  # (B, C, k)
+    gXc = s3x * 2.0 * yx[..., 0, 1:]  # (B, C, k)
     gXt = _scatter_add_bk(gXt, sb.coord_flat, jnp.swapaxes(gXc, 1, 2))
     tt = jnp.arange(k)
-    gWt = gWt + sW * jnp.swapaxes(yx[..., tt + 1, tt + 1], 1, 2)
+    gWt = gWt + s3w * jnp.swapaxes(yx[..., tt + 1, tt + 1], 1, 2)
     gH = jnp.zeros((B, kp, C), dtype=y5.dtype)
     if kp:
         t1s, t2s = _pair_indices(k)
         t1a = jnp.asarray(t1s)
         t2a = jnp.asarray(t2s)
-        gHc = sW * (yx[..., t1a + 1, t2a + 1] + yx[..., t2a + 1, t1a + 1])
+        gHc = s3w * (yx[..., t1a + 1, t2a + 1] + yx[..., t2a + 1, t1a + 1])
         gH = jnp.swapaxes(gHc, 1, 2)
 
     # RSOC rows: the X slot is sum_t Xt, so the gradient lands on every term
     gWf = jnp.zeros((B, n * m), dtype=y5.dtype)
     bidx = jnp.arange(B)[:, None]
-    gWf = gWf.at[bidx, sb.soc_flat].add(sW * yr[..., 1])
+    gWf = gWf.at[bidx, sb.soc_flat].add(s2w * yr[..., 1])
     gXt = _scatter_add_bk(
         gXt, sb.soc_flat,
-        jnp.broadcast_to((sX * yr[..., 2])[:, None, :],
+        jnp.broadcast_to((s2x * yr[..., 2])[:, None, :],
                          (B, k, yr.shape[1])),
     )
 
     # W-link adjoint: +ywl on W_c, -ywl on Wt[:, c], -2 ywl on H[:, c]
-    gWf = gWf.at[bidx, sb.coord_flat].add(sW * ywl)
-    gWt = gWt - sW * ywl[:, None, :]
-    gH = gH - 2.0 * sW * ywl[:, None, :]
+    gWf = gWf.at[bidx, sb.coord_flat].add(s2w * ywl)
+    gWt = gWt - s3w * ywl[:, None, :]
+    gH = gH - 2.0 * s3w * ywl[:, None, :]
 
     # Theta-link rows: -yl_j on every W_ij
-    gW = gWf.reshape(B, n, m) - sW * yl[:, None, :]
+    gW = gWf.reshape(B, n, m) - s3w * yl[:, None, :]
     return gXt.reshape(B, k, n, m), gW, gWt, gH, gv1, gv2, gv3
 
 
 def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
                        gamma: float, *, iters: int = 400,
                        dtype=jnp.float32, alpha: float = 1.6,
-                       sX: float = 1.0, sT: float = 1.0,
                        psd_method: str = "auto", jit: bool = True,
                        check_every: int = 2000, ema_iters: int = 1500):
     """Batched ADMM solver for the rank-k (k > 1) Shor relaxation.
@@ -486,7 +499,6 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
     # tiny PSD blocks (5x5 minors, (k+1)x(k+1) XWH): lane-major VPU
     # projection — see omc.ops.polar.project_psd_ns_small
     proj_small = project_psd_ns_small if psd_method == "ns" else project_psd
-    sW = sX * sX
     kp = (k * (k - 1)) // 2
     C = 4 * M5
 
@@ -500,14 +512,25 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
         m5m = sb.minor_mask
         cdm = sb.coord_mask
         socm = sb.soc_mask
+        # per-slot runtime block scales (see omc.sdp.admm.ADMMState.sX);
+        # views by target rank: _f (B,), 2 (B,1), 3 (B,1,1), 4 (B,1,1,1)
+        sX_f = state.core.sX
+        sW_f = sX_f * sX_f
+        sX = sX_f[:, None, None]
+        sX4 = sX_f[:, None, None, None]
+        sT = state.core.sT[:, None, None]
+        sT2 = state.core.sT[:, None]
+        sW = sX * sX
+        sW2 = sW_f[:, None]
+        sW4_2 = (sW_f * sW_f)[:, None]
 
         G1 = _gram1(batch, k, dtype)
         G1c = jax.lax.linalg.cholesky(G1)
 
-        # objective: all linear under the W form
-        cXt = -sX * (mask * A)  # applied to EVERY term t
-        cW = 0.5 * sW * mask
-        cTh = (sT * 0.5 / gamma) * jnp.eye(m, dtype=dtype)
+        # objective: all linear under the W form (per-slot via the scales)
+        cXt = -sX * (mask * A)[None]  # (B, n, m), applied to EVERY term t
+        cW = 0.5 * sW * mask[None]
+        cTh = (sT * 0.5 / gamma) * jnp.eye(m, dtype=dtype)[None]
 
         # --- rho-free K'K diagonals (D = rho * D1) ---
         # X block, per entry: D1x I_k + c1x J_k.  For entries outside every
@@ -518,23 +541,23 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
         tau_x = sX * sX
         D1x = sX * sX * (2.0 * sb.cnt_minor + 2.0 * sb.is_coord) + tau_x
         c1x = sX * sX * (2.0 + sb.is_soc)
-        D1w = sW * sW * (1.0 + sb.is_soc.reshape(B, -1))  # (B, n*m)
-        D1wt = sW * sW * (sb.coord_minor_cnt + cdm + 1.0)  # (B, C)
-        D1h = sW * sW * jnp.maximum(2.0 * cdm, 1.0)  # (B, C)
-        D1v1 = sW * sW * jnp.maximum(sb.cnt_v1, 1.0)
-        D1v2 = sW * sW * jnp.maximum(sb.cnt_v2, 1.0)
-        D1v3 = sW * sW * jnp.maximum(sb.cnt_v3, 1.0)
+        D1w = sW4_2 * (1.0 + sb.is_soc.reshape(B, -1))  # (B, n*m)
+        D1wt = sW4_2 * (sb.coord_minor_cnt + cdm + 1.0)  # (B, C)
+        D1h = sW4_2 * jnp.maximum(2.0 * cdm, 1.0)  # (B, C)
+        D1v1 = sW4_2 * jnp.maximum(sb.cnt_v1, 1.0)
+        D1v2 = sW4_2 * jnp.maximum(sb.cnt_v2, 1.0)
+        D1v3 = sW4_2 * jnp.maximum(sb.cnt_v3, 1.0)
 
         # --- link Woodbury (diagonal Schur; see module docstring) ---
         D1w_mat = D1w.reshape(B, n, m)
-        A_th = 2.0 + jnp.sum(sW * sW / D1w_mat, axis=1)  # (B, m)
+        A_th = 2.0 + jnp.sum((sW * sW) / D1w_mat, axis=1)  # (B, m)
         D1w_c = jnp.take_along_axis(D1w, sb.coord_flat, axis=1)  # (B, C)
         D_c = 1.0 + cdm * (
-            sW * sW / D1w_c
-            + k * (sW * sW) / D1wt
-            + kp * 4.0 * (sW * sW) / D1h
+            sW4_2 / D1w_c
+            + k * sW4_2 / D1wt
+            + kp * 4.0 * sW4_2 / D1h
         )
-        B_jc = -cdm * (sW * sW) / D1w_c  # (B, C): entry (coord_j[c], c)
+        B_jc = -cdm * sW4_2 / D1w_c  # (B, C): entry (coord_j[c], c)
         bidx = jnp.arange(B)[:, None]
         S_th = A_th - jnp.zeros_like(A_th).at[bidx, sb.coord_j].add(
             B_jc * B_jc / D_c
@@ -556,10 +579,10 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
                jnp.zeros_like(state.v1), jnp.zeros_like(state.v2),
                jnp.zeros_like(state.v3))
         offs5, offsx, offsr, _, _ = _forward_shor_k(
-            sb, *zsh, k, m, sX, sW
+            sb, *zsh, k, m, sX_f, sW_f
         )
 
-        R_Xs = jnp.sqrt(2.0 * gamma * ub_bar).astype(dtype) / sX
+        R_Xs4 = jnp.sqrt(2.0 * gamma * ub_bar).astype(dtype) / sX4
 
         def body(it, st: ShorKState):
             c0 = st.core
@@ -582,7 +605,7 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
                 sb,
                 st.w5 - st.u5 - offs5, st.wx - st.ux - offsx,
                 st.wr - st.ur - offsr, st.wl - st.ul, st.wwl - st.uwl,
-                B, n, m, k, kp, sX, sW,
+                B, n, m, k, kp, sX_f, sW_f,
             )
             # W >= 0 and Wt >= 0 identity slots
             gW = gW + sW * (st.wp - st.up)
@@ -592,11 +615,11 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
             rTh_l = sT * yl[:, None, :] * jnp.eye(m, dtype=dtype)
 
             # rhs = rho * K'(w - u - b) - c, then divide by rho * D1
-            RXt = r4 * (rX[:, None] + gXt) - cXt[None, None]
+            RXt = r4 * (rX[:, None] + gXt) - cXt[:, None]
             RY = r3 * rY
-            RT = r3 * (rTh + rTh_l) - cTh[None]
+            RT = r3 * (rTh + rTh_l) - cTh
             RU = r3 * rU
-            RW = r3 * gW - cW[None]
+            RW = r3 * gW - cW
             RWt = r4[..., 0] * gWt
             RH = r4[..., 0] * gH
             Rv1 = r4[..., 0] * gv1
@@ -631,30 +654,30 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
 
             # link Woodbury on (Theta, W, Wt, H)
             zW_mat = zW.reshape(B, n, m)
-            p = sT * jnp.diagonal(zTh, axis1=-2, axis2=-1) - sW * jnp.sum(
+            p = sT2 * jnp.diagonal(zTh, axis1=-2, axis2=-1) - sW2 * jnp.sum(
                 zW_mat, axis=1
             )
             q = cdm * (
-                sW * jnp.take_along_axis(zW, sb.coord_flat, axis=1)
-                - sW * jnp.sum(zWt, axis=1)
-                - 2.0 * sW * jnp.sum(zH, axis=1)
+                sW2 * jnp.take_along_axis(zW, sb.coord_flat, axis=1)
+                - sW2 * jnp.sum(zWt, axis=1)
+                - 2.0 * sW2 * jnp.sum(zH, axis=1)
             )
             a, bb = link_solve(p, q)
             # corrections: z -= D1^{-1} V2 [a; b]
-            zTh = zTh - (sT * a / (sT * sT))[:, None, :] * jnp.eye(m, dtype=dtype)
+            zTh = zTh - (a / sT2)[:, None, :] * jnp.eye(m, dtype=dtype)
             corr_W = (-sW) * a[:, None, :]  # Theta-link on every W_ij
             zW_mat = zW_mat - corr_W / D1w_mat
             # W-link corrections
             zW_flat = zW_mat.reshape(B, -1)
             zW_flat = zW_flat.at[bidx, sb.coord_flat].add(
-                -(sW * bb * cdm) / D1w_c
+                -(sW2 * bb * cdm) / D1w_c
             )
-            zWt = zWt - (-(sW) * bb * cdm / D1wt)[:, None, :]
-            zH = zH - (-(2.0 * sW) * bb * cdm / D1h)[:, None, :]
+            zWt = zWt - (-(sW2) * bb * cdm / D1wt)[:, None, :]
+            zH = zH - (-(2.0 * sW2) * bb * cdm / D1h)[:, None, :]
 
             Y = 0.5 * (zY + jnp.swapaxes(zY, -1, -2))
             Ths = 0.5 * (zTh + jnp.swapaxes(zTh, -1, -2))
-            Xt = jnp.clip(zXt, -R_Xs, R_Xs)
+            Xt = jnp.clip(zXt, -R_Xs4, R_Xs4)
             W = zW_flat.reshape(B, n, m)
             U = zU
 
@@ -662,9 +685,9 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
             Xsum = jnp.sum(Xt, axis=1)
             f = _forward(batch, Xsum, Y, Ths, U, k, sX, sT)
             f5, fx, fr, fw_col, fwl = _forward_shor_k(
-                sb, Xt, W, zWt, zH, zv1, zv2, zv3, k, m, sX, sW
+                sb, Xt, W, zWt, zH, zv1, zv2, zv3, k, m, sX_f, sW_f
             )
-            f_link = sT * jnp.diagonal(Ths, axis1=-2, axis2=-1) - fw_col
+            f_link = sT2 * jnp.diagonal(Ths, axis1=-2, axis2=-1) - fw_col
 
             def relax_mix(fz, w):
                 return alpha * fz + (1.0 - alpha) * w
@@ -727,6 +750,7 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
                 u1=u1, u2=u2, u3=u3, u4=u4, usoc=usoc, ubox=ubox,
                 ua=ua, ub=ub, uc=uc,
                 X=Xsum, Y=Y, Th=Ths, U=U, rho=rho_b,
+                sX=c0.sX, sT=c0.sT,
             )
             return ShorKState(
                 core=core, Xt=Xt, W=W, Wt=zWt, Hh=zH, v1=zv1, v2=zv2, v3=zv3,
@@ -740,6 +764,15 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
         with_target = target is not None
         if group is None:
             group = jnp.arange(B, dtype=jnp.int32)
+        # Under a mesh the solver body runs per-shard (shard_map) while the
+        # driver's group ids are GLOBAL slot indices: the shard's slice of
+        # a contiguous id block starts at a nonzero offset, so scatter
+        # targets would land out of range (silently dropped) and the
+        # ANY-replica-clears semantics degrade to per-slot clearing.
+        # Re-basing by the shard's minimum id restores in-range local
+        # indices for contiguous blocks (identity groups under mesh;
+        # portfolio groups are single-shard only) — a no-op off-mesh.
+        group = group - jnp.min(group)
         beta = jnp.asarray(1.0 / max(ema_iters, 1), dtype)
 
         def zero_acc():
@@ -832,8 +865,8 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
         Msep = 0.5 * (Msep + jnp.swapaxes(Msep, -1, -2))
         sep_w, sep_V = jnp.linalg.eigh(Msep)
         out = {
-            "X": sX * c0.X, "Xt": sX * state.Xt, "Y": c0.Y,
-            "Th": sT * c0.Th, "U": c0.U, "W": (sX * sX) * state.W,
+            "X": sX * c0.X, "Xt": sX4 * state.Xt, "Y": c0.Y,
+            "Th": sT * c0.Th, "U": c0.U, "W": sW * state.W,
             "y1": ybar[0], "y2": ybar[1],
             "ya": ybar[2], "yb": ybar[3], "yc": ybar[4],
             "y5": ybar[5], "yx": ybar[6], "yr": ybar[7],

@@ -174,23 +174,28 @@ class BBTree:
             heapq.heappush(self._heap, (parent_objective, node.node_id))
         self.counter += len(children)
 
-    def prune_dominated(self) -> int:
+    def prune_dominated(self) -> Tuple[int, List[int]]:
         """Remove every node whose queued LB exceeds the incumbent
-        (reference lines 1220-1244).  Returns how many of the pruned nodes
-        were mid-refinement (already counted in census category (5) at
-        their first visit) so the driver can record their terminal outcome
-        as a bound prune — keeping the reference's (6)+(7)+(9)=(5)
-        census equality (reference lines 435-446)."""
+        (reference lines 1220-1244).  Returns ``(pruned_refining,
+        pruned_ids)``: how many of the pruned nodes were mid-refinement
+        (already counted in census category (5) at their first visit) so
+        the driver can record their terminal outcome as a bound prune —
+        keeping the reference's (6)+(7)+(9)=(5) census equality (reference
+        lines 435-446) — plus the pruned node ids (the driver flags the
+        root as resolved when it is dominance-pruned)."""
         doomed = [
             nid for nid, lb in self._heap_lb.items() if lb > self.best_upper_bound
         ]
         pruned_refining = 0
+        pruned_ids: List[int] = []
         for nid in doomed:
             node = self.nodes.pop(nid, None)
             self._heap_lb.pop(nid, None)
-            if node is not None and node.refines > 0:
-                pruned_refining += 1
-        return pruned_refining
+            if node is not None:
+                pruned_ids.append(nid)
+                if node.refines > 0:
+                    pruned_refining += 1
+        return pruned_refining, pruned_ids
 
     def min_queued_lb(self) -> float:
         while self._heap:
