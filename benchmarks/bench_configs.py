@@ -229,11 +229,18 @@ def config4():
 def config5():
     """2-process CPU-simulated multi-host scaling (no multi-host TPU in
     this container; BASELINE config 5's v5p-16 shape is exercised by the
-    same code path via jax.distributed)."""
+    same code path via jax.distributed).
+
+    Measurement discipline (round-4 verdict item 7): every process is
+    PINNED to its own core (the 1-process baseline to core 0; the two
+    workers to cores 0 and 1), so the 2-process total is compared against
+    a true per-core baseline instead of an oversubscribed shared machine,
+    and the per-round collective time is reported separately so the
+    efficiency loss decomposes into sync overhead vs compute."""
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "dist_scaling_worker.py")
 
-    def run(nproc):
+    def run(nproc, cores):
         import socket
 
         s = socket.socket()
@@ -243,7 +250,7 @@ def config5():
         procs = [
             subprocess.Popen(
                 [sys.executable, worker, f"localhost:{port}", str(pid),
-                 str(nproc)],
+                 str(nproc), str(cores[pid])],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
             for pid in range(nproc)
@@ -257,27 +264,24 @@ def config5():
             outs.append(json.loads(line[len("RESULT "):]))
         return outs
 
-    r1 = run(1)[0]
-    r2 = run(2)
+    n_cores = len(os.sched_getaffinity(0))
+    cores2 = [0, 1] if n_cores >= 2 else [0, 0]
+    r1 = run(1, [0])[0]  # pinned 1-core baseline
+    r2 = run(2, cores2)
     nps1 = r1["nodes_per_sec"]
     nps2 = sum(r["nodes_per_sec_local"] for r in r2)
     eff = (nps2 / 2.0) / nps1 if nps1 > 0 else 0.0
-    # Both processes share ONE machine's cores, so the compute-bound
-    # ceiling of this simulation is 0.5 of linear (on a real multi-host
-    # slice each process owns its own chips; BASELINE's >=70% target
-    # refers to that hardware-parallel case).  The HEADLINE value is
-    # therefore efficiency relative to the shared-core ceiling — the
-    # fraction of what this container can physically express — with the
-    # raw fraction-of-linear recorded alongside.
-    ceiling = 0.5
+    sync_s = [r.get("sync_seconds", 0.0) for r in r2]
+    elapsed2 = max(r["elapsed"] for r in r2)
     print(json.dumps({
-        "metric": "config5_two_process_scaling_vs_shared_core_ceiling",
-        "value": round(eff / ceiling, 3),
-        "unit": "fraction_of_shared_core_ceiling",
-        "fraction_of_linear": round(eff, 3),
-        "shared_core_ceiling": ceiling,
-        "nodes_per_sec_1proc": round(nps1, 3),
+        "metric": "config5_two_process_scaling_pinned_cores",
+        "value": round(eff, 3),
+        "unit": "fraction_of_linear",
+        "pinned_cores": cores2,
+        "nodes_per_sec_1proc_pinned": round(nps1, 3),
         "nodes_per_sec_2proc_total": round(nps2, 3),
+        "sync_seconds_per_proc": [round(s, 3) for s in sync_s],
+        "sync_fraction_of_wall": round(max(sync_s) / max(elapsed2, 1e-9), 3),
         "objective_1p": r1["objective"],
         "objective_2p": r2[0]["objective"],
         "objectives_match": bool(

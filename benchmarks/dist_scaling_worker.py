@@ -1,9 +1,12 @@
 """Worker for the config-5 scaling benchmark (CPU multi-process).
 
-Usage: python dist_scaling_worker.py <coordinator> <pid> <nproc>
+Usage: python dist_scaling_worker.py <coordinator> <pid> <nproc> [<core>]
 
 Runs the branch-and-bound driver (distributed when nproc > 1) on a fixed
 instance sized to produce a real node frontier, and prints nodes/sec.
+``core`` (optional) pins the process to that CPU core (sched_setaffinity),
+so the 2-process run measures true per-core scaling against a 1-core
+1-process baseline instead of sharing an oversubscribed machine.
 """
 
 import json
@@ -12,6 +15,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if len(sys.argv) > 4 and sys.argv[4] != "-":
+    os.sched_setaffinity(0, {int(sys.argv[4])})
 
 import jax
 
@@ -53,6 +59,7 @@ def main():
         "nodes_per_sec": explored_global / max(elapsed, 1e-9),
         "nodes_per_sec_local": rd["nodes_explored"] / max(elapsed, 1e-9),
         "nodes_explored_local": rd["nodes_explored"],
+        "sync_seconds": rd.get("dist_sync_seconds", 0.0),
     }), flush=True)
 
 

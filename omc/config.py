@@ -101,10 +101,22 @@ class SolverConfig:
     # multiplier is implicitly 1.0.
     rho_portfolio: Tuple[float, ...] = (0.25, 4.0, 0.0625)
     sdp_warm_start: bool = True  # warm-start children from parent duals
+    # carry the visit's BEST-CHUNK duals (by the float64-tracking
+    # estimator) in the warm-start state instead of the final ADMM
+    # iterate: the final iterate oscillates with a multi-thousand-
+    # iteration period, so children / refinement re-visits starting from
+    # the trajectory's best point re-pay fewer catch-up iterations
+    sdp_best_dual_warm: bool = True
     # when the frontier underfills the batch, raise the per-visit iteration
     # budget by up to this factor (padded slots cost the same device time
     # whether or not they carry live nodes, so concentrate it)
     sdp_iter_boost_max: int = 8
+    # uniform weight of the equilibrated Shor constraint rows as a POWER
+    # of the data scale sX: sS = sX**shor_slot_pow (runtime value — no
+    # recompile across settings).  0.0 = pure diagonal rescale (weakest
+    # coupling), 1.0 matches the core M1 row's X coupling, 2.0 matches the
+    # pre-r5 implicit W coupling.  See omc.sdp.admm.ADMMState.sS.
+    shor_slot_pow: float = 1.0
     # on-device certification cadence: inside the jitted ADMM loop the
     # safe dual bound is evaluated every this many iterations and the loop
     # exits as soon as every live node's bound target is cleared (by the

@@ -301,6 +301,9 @@ class DistContext:
         self.rebalance_every = max(1, rebalance_every)
         self.round = 0
         self._global_lb = -np.inf
+        # cumulative wall-clock inside collectives (bound sync +
+        # rebalancing) — the scaling benchmark's sync/compute breakdown
+        self.sync_seconds = 0.0
         # observability: warm-migration state leaves that failed to fit the
         # wire spec (zero-filled or dropped); a nonzero count means the
         # migration benefit is silently degraded by shape mismatches
@@ -308,9 +311,13 @@ class DistContext:
 
     # -- collectives -----------------------------------------------------
     def _allgather(self, vec: np.ndarray) -> np.ndarray:
+        import time as _time
+
         from jax.experimental import multihost_utils
 
+        t0 = _time.time()
         out = multihost_utils.process_allgather(np.asarray(vec))
+        self.sync_seconds += _time.time() - t0
         return np.asarray(out)
 
     def sync_round(self, best_ub: float, lb_candidate: float, n_nodes: int,

@@ -74,10 +74,17 @@ class ADMMState(NamedTuple):
     # instance-baked scales made every program instance-specific)
     sX: jnp.ndarray  # (B,)
     sT: jnp.ndarray  # (B,)
+    # uniform weight of the (rescaled) Shor constraint rows — the ADMM
+    # coupling strength of the 5x5/XWH/RSOC slots relative to the core
+    # cones (scaling a constraint row by b is equivalent to giving it
+    # penalty rho*b^2; a UNIFORM b keeps the slot entries equilibrated,
+    # unlike the pre-r5 implicit diag(1, sX, .., sX^2) weighting).  Unused
+    # by the base solver; read by the Shor solver families.
+    sS: jnp.ndarray  # (B,)
 
 
 def init_admm_state(B, n, m, k, L, dtype=jnp.float32, *, sX=1.0, sT=1.0,
-                    X0=None, Y0=None, Th0=None, U0=None,
+                    sS=1.0, X0=None, Y0=None, Th0=None, U0=None,
                     rho: float = 0.02) -> ADMMState:
     z = lambda *s: jnp.zeros(s, dtype=dtype)
 
@@ -101,6 +108,7 @@ def init_admm_state(B, n, m, k, L, dtype=jnp.float32, *, sX=1.0, sT=1.0,
         rho=jnp.full((B,), rho, dtype=dtype),
         sX=jnp.broadcast_to(jnp.asarray(sX, dtype), (B,)),
         sT=jnp.broadcast_to(jnp.asarray(sT, dtype), (B,)),
+        sS=jnp.broadcast_to(jnp.asarray(sS, dtype), (B,)),
     )
 
 
@@ -451,7 +459,7 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
                 usoc=usoc * r3n, ubox=ubox * r3n,
                 ua=ua * r3n, ub=ub * r3n, uc=uc * resc[:, None],
                 X=Xs, Y=Y, Th=Ths, U=U, rho=rho_new,
-                sX=st.sX, sT=st.sT,
+                sX=st.sX, sT=st.sT, sS=st.sS,
             )
 
         # EMA-averaged dual output with best-chunk tracking: low-precision

@@ -127,25 +127,33 @@ def _scatter_add(shape_ref, idx, val):
     return out.at[jnp.arange(out.shape[0])[:, None], idx].add(val)
 
 
-def _forward_shor(sb: ShorBatch, Xs, Ws, v1s, v2s, v3s, m, sX, sW):
+def _forward_shor(sb: ShorBatch, Xs, Ws, v1s, v2s, v3s, m, sX, sW, sS=1.0):
     """Shor slot values: 5x5 minors, RSOC rows, and the link residual part
     involving W (the Theta part is added by the caller).  ``sX``/``sW``
-    are per-slot (B,) runtime scales (or python scalars in tests)."""
+    are per-slot (B,) runtime scales (or python scalars in tests);
+    ``sS`` is the uniform Shor-row weight (see ADMMState.sS)."""
     B = Xs.shape[0]
-    sX = jnp.reshape(jnp.asarray(sX, Xs.dtype), (-1,))
     sW = jnp.reshape(jnp.asarray(sW, Xs.dtype), (-1,))
-    s3x, s3w = sX[:, None, None], sW[:, None, None]
-    s2w = sW[:, None]
-    Xf = (s3x * Xs).reshape(B, -1)
-    Wf = (s3w * Ws).reshape(B, -1)
+    s3w = sW[:, None, None]
+    sS = jnp.reshape(jnp.asarray(sS, Xs.dtype), (-1,))
+    sS2 = sS[:, None]
+    # DIAGONAL RESCALING of the Shor blocks (round-4 verdict item 1): the
+    # 5x5 minor slot is D M D with D = diag(1, 1/sX, 1/sX, 1/sX, 1/sX)
+    # (PSD-equivalent), i.e. built directly from the SCALED variables
+    # Xs = X/sX, Ws = W/sX^2, vs = V/sX^2 — every entry is O(1), so the
+    # f32 matrix-sign PSD projection no longer sees the ~1e2 entry spread
+    # that stalled the 100x100 Shor bound.  The RSOC rows use
+    # (0.5, Ws, Xs), the SAME cone since W >= X^2 <=> W/s^2 >= (X/s)^2.
+    Xf = Xs.reshape(B, -1)
+    Wf = Ws.reshape(B, -1)
     f11, f12, f21, f22 = _flat_idx(sb.minor_idx, m)
     x11, x12, x21, x22 = (_gather(Xf, f) for f in (f11, f12, f21, f22))
     w11, w12, w21, w22 = (_gather(Wf, f) for f in (f11, f12, f21, f22))
-    V1a = s2w * _gather(v1s, sb.iv1a)
-    V1b = s2w * _gather(v1s, sb.iv1b)
-    V2a = s2w * _gather(v2s, sb.iv2a)
-    V2b = s2w * _gather(v2s, sb.iv2b)
-    V3 = s2w * _gather(v3s, sb.iv3)
+    V1a = _gather(v1s, sb.iv1a)
+    V1b = _gather(v1s, sb.iv1b)
+    V2a = _gather(v2s, sb.iv2a)
+    V2b = _gather(v2s, sb.iv2b)
+    V3 = _gather(v3s, sb.iv3)
     one = jnp.ones_like(x11)
     rows = [
         [one, x11, x12, x21, x22],
@@ -154,50 +162,58 @@ def _forward_shor(sb: ShorBatch, Xs, Ws, v1s, v2s, v3s, m, sX, sW):
         [x21, V2a, V3, w21, V1b],
         [x22, V3, V2b, V1b, w22],
     ]
-    w5 = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)  # (B,M5,5,5)
+    w5 = sS[:, None, None, None] * jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )  # (B, M5, 5, 5)
 
     # canonical SOC layout (shor_encode): slot s <-> flat coordinate s,
     # so the RSOC slot values are plain reshapes — no gather
-    wr = jnp.stack(
+    wr = sS2[..., None] * jnp.stack(
         [0.5 * jnp.ones_like(Wf), Wf, Xf], axis=-1
     )  # (B, Ms, 3)
     wcol = jnp.sum((s3w * Ws), axis=-2)  # (B, m): sum_i W_ij
     return w5, wr, wcol
 
 
-def _adjoint_shor(sb: ShorBatch, y5, yr, yl, B, n, m, sX, sW):
+def _adjoint_shor(sb: ShorBatch, y5, yr, yl, B, n, m, sX, sW, sS=1.0):
     """Adjoint of the Shor slots -> gradients on (Xs, Ws, v1s, v2s, v3s,
     Th-diag contribution handled by caller).  ``sX``/``sW`` are per-slot
-    (B,) runtime scales (or python scalars in tests)."""
-    sX = jnp.reshape(jnp.asarray(sX, y5.dtype), (-1,))
+    (B,) runtime scales (or python scalars in tests); ``sS`` the uniform
+    Shor-row weight (the minor/RSOC slot coefficients)."""
     sW = jnp.reshape(jnp.asarray(sW, y5.dtype), (-1,))
-    s2x, s2w = sX[:, None], sW[:, None]
+    s2w = sW[:, None]
+    sS = jnp.reshape(jnp.asarray(sS, y5.dtype), (-1,))
+    y5 = sS[:, None, None, None] * y5
+    yr = sS[:, None, None] * yr
     f11, f12, f21, f22 = _flat_idx(sb.minor_idx, m)
     cm = sb.minor_mask
     y5 = y5 * cm[..., None, None]
     gXf = jnp.zeros((B, n * m), dtype=y5.dtype)
     gWf = jnp.zeros((B, n * m), dtype=y5.dtype)
     barange = jnp.arange(B)[:, None]
+    # minor/RSOC slots are built on the SCALED variables (coefficient 1.0
+    # — see _forward_shor's diagonal-rescaling note)
     # X rows/cols of the 5x5 (symmetric dual): coefficient 2*y5[0, c]
     for f, c in ((f11, 1), (f12, 2), (f21, 3), (f22, 4)):
-        gXf = gXf.at[barange, f].add(s2x * 2.0 * y5[..., 0, c])
+        gXf = gXf.at[barange, f].add(2.0 * y5[..., 0, c])
     for f, c in ((f11, 1), (f12, 2), (f21, 3), (f22, 4)):
-        gWf = gWf.at[barange, f].add(s2w * y5[..., c, c])
+        gWf = gWf.at[barange, f].add(y5[..., c, c])
     gv1 = jnp.zeros_like(sb.cnt_v1)
     gv2 = jnp.zeros_like(sb.cnt_v2)
     gv3 = jnp.zeros_like(sb.cnt_v3)
-    gv1 = gv1.at[barange, sb.iv1a].add(s2w * 2.0 * y5[..., 1, 2])
-    gv1 = gv1.at[barange, sb.iv1b].add(s2w * 2.0 * y5[..., 3, 4])
-    gv2 = gv2.at[barange, sb.iv2a].add(s2w * 2.0 * y5[..., 1, 3])
-    gv2 = gv2.at[barange, sb.iv2b].add(s2w * 2.0 * y5[..., 2, 4])
+    gv1 = gv1.at[barange, sb.iv1a].add(2.0 * y5[..., 1, 2])
+    gv1 = gv1.at[barange, sb.iv1b].add(2.0 * y5[..., 3, 4])
+    gv2 = gv2.at[barange, sb.iv2a].add(2.0 * y5[..., 1, 3])
+    gv2 = gv2.at[barange, sb.iv2b].add(2.0 * y5[..., 2, 4])
     gv3 = gv3.at[barange, sb.iv3].add(
-        s2w * 2.0 * (y5[..., 1, 4] + y5[..., 2, 3])
+        2.0 * (y5[..., 1, 4] + y5[..., 2, 3])
     )
-    # RSOC rows (0.5, W, X) — canonical layout: elementwise adds
+    # RSOC rows (0.5, Ws, Xs) — canonical layout: elementwise adds
     yr = yr * sb.soc_mask[..., None]
-    gWf = gWf + s2w * yr[..., 1]
-    gXf = gXf + s2x * yr[..., 2]
-    # link rows: r_j = Theta_jj - sum_i W_ij -> dW_ij -= yl_j
+    gWf = gWf + yr[..., 1]
+    gXf = gXf + yr[..., 2]
+    # link rows: r_j = Theta_jj - sum_i W_ij -> dW_ij -= sW * yl_j
+    # (the link row stays on the RAW variables)
     gW = gWf.reshape(B, n, m) - s2w[..., None] * yl[:, None, :]
     return gXf.reshape(B, n, m), gW, gv1, gv2, gv3
 
@@ -242,11 +258,20 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
         sT = state.core.sT[:, None, None]
         sW = sX * sX
         sW2 = sW_f[:, None]  # (B, 1) view for flat arrays
+        sS_f = state.core.sS  # (B,) uniform Shor-row weight
+        sS2 = sS_f[:, None]
+        sS3 = sS_f[:, None, None]
 
         G1 = _gram1(batch, k, dtype)
         G1c = jax.lax.linalg.cholesky(G1)
-        # link-row Gram block is diagonal (disjoint variables per column)
-        g_link = 2.0 + jnp.sum(1.0 / jnp.maximum(sb.cnt_W, 1e-30), axis=1)  # (B, m)
+        # link-row Gram block is diagonal (disjoint variables per column).
+        # The link row stays on the RAW variables (coefficient sW on W),
+        # while W's K'K diagonal is sS^2 * cnt_W (the sS-weighted
+        # minor/RSOC/W>=0 rows — see _forward_shor), so the W contribution
+        # per entry is sW^2 / (sS^2 cnt_W).
+        g_link = 2.0 + ((sW_f * sW_f) / (sS_f * sS_f))[:, None] * jnp.sum(
+            1.0 / jnp.maximum(sb.cnt_W, 1e-30), axis=1
+        )  # (B, m)
 
         # objective (all linear under the W form): c'z with
         # F = 1/2 sum A^2 - sum_Omega A X + 1/2 sum_Omega W + tr(Theta)/2g
@@ -255,11 +280,16 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
         cTh = (sT * 0.5 / gamma) * jnp.eye(m, dtype=dtype)[None]
         const_obj = 0.5 * jnp.sum(mask * A * A)
 
-        dX1 = (2.0 + sb.cnt_X) * sX * sX  # D = rho * dX1
-        dW1 = jnp.maximum(sb.cnt_W, 1.0) * sW * sW
-        dv1 = jnp.maximum(sb.cnt_v1, 1.0) * sW2 * sW2
-        dv2 = jnp.maximum(sb.cnt_v2, 1.0) * sW2 * sW2
-        dv3 = jnp.maximum(sb.cnt_v3, 1.0) * sW2 * sW2
+        # K'K diagonals (D = rho * d*): the M1/M2 slots keep coefficient
+        # sX on Xs; minor/RSOC/W>=0 slots are coefficient 1.0 on the
+        # scaled variables (diagonal rescaling, see _forward_shor)
+        ss2 = sS3 * sS3
+        ss2f = sS2 * sS2
+        dX1 = 2.0 * sX * sX + ss2 * sb.cnt_X
+        dW1 = ss2 * jnp.maximum(sb.cnt_W, 1.0)
+        dv1 = ss2f * jnp.maximum(sb.cnt_v1, 1.0)
+        dv2 = ss2f * jnp.maximum(sb.cnt_v2, 1.0)
+        dv3 = ss2f * jnp.maximum(sb.cnt_v3, 1.0)
 
         zeros4 = (jnp.zeros((B, n, m), dtype), jnp.zeros((B, n, n), dtype),
                   jnp.zeros((B, m, m), dtype), jnp.zeros((B, n, k), dtype))
@@ -269,11 +299,9 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
                  jnp.zeros_like(state.v3))
         offs5, offsr, offsl_w = _forward_shor(sb, zshor[0], zshor[1],
                                               zshor[2], zshor[3], zshor[4],
-                                              m, sX_f, sW_f)
+                                              m, sX_f, sW_f, sS_f)
 
-        # valid primal boxes for stability (master-feasible ranges)
-        Wmax = (2.0 * gamma * ub_bar) / sW
-        Vmax = (2.0 * gamma * ub_bar) / sW
+        # valid primal box for stability (master-feasible range)
         R_Xs = jnp.sqrt(2.0 * gamma * ub_bar).astype(dtype) / sX
 
         def body(it, st: ShorADMMState):
@@ -297,10 +325,10 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
                 (st.w5 - st.u5 - offs5) * m5m[..., None, None],
                 (st.wr - st.ur - offsr) * socm[..., None],
                 (st.wl - st.ul),  # link offset is zero
-                B, n, m, sX_f, sW_f,
+                B, n, m, sX_f, sW_f, sS_f,
             )
-            # W >= 0 slot adjoint (identity row, coefficient sW)
-            gW5 = gW5 + sW * (st.wp - st.up)
+            # W >= 0 slot adjoint (sS-weighted identity row on Ws)
+            gW5 = gW5 + sS3 * (st.wp - st.up)
             # link rows touch Theta diagonal with coefficient sT
             yl = st.wl - st.ul
             rTh_l = sT * yl[:, None, :] * jnp.eye(m, dtype=dtype)
@@ -340,9 +368,9 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
             zTh = zTh - (t_l / (rho_b[:, None] * sT[..., 0]))[
                 :, None, :
             ] * jnp.eye(m, dtype=dtype)
-            zW = zW + t_l[:, None, :] / (r3 * sW * dW1 / (sW * sW))
-            # note: D_W = rho * dW1 with dW1 = cnt * sW^2; correction is
-            # (-sW * t_l) / D_W = -t_l / (rho * sW * cnt); cnt = dW1 / sW^2
+            zW = zW + sW * t_l[:, None, :] / (r3 * dW1)
+            # note: D_W = rho * dW1 with dW1 = cnt_W; the link column entry
+            # on W is -sW, so the correction is -(-sW) t_l / D_W
             Y = 0.5 * (zY + jnp.swapaxes(zY, -1, -2))
             Ths = 0.5 * (zTh + jnp.swapaxes(zTh, -1, -2))
             Xs = jnp.clip(zX, -R_Xs, R_Xs)
@@ -352,7 +380,7 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
             # ---- w/u-steps ----
             f = _forward(batch, Xs, Y, Ths, U, k, sX, sT)
             f5, fr, fw_col = _forward_shor(sb, Xs, Ws, v1, v2, v3, m,
-                                           sX_f, sW_f)
+                                           sX_f, sW_f, sS_f)
             f_link = sT[..., 0] * jnp.diagonal(
                 Ths, axis1=-2, axis2=-1
             ) - fw_col
@@ -401,8 +429,8 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
             tl = alpha * f_link + st.ul
             wl = jnp.zeros_like(tl)
             ul = tl
-            # W >= 0 slot
-            tp = relax_mix(sW * Ws, st.wp) + st.up
+            # W >= 0 slot (sS-weighted scaled Ws; same cone)
+            tp = relax_mix(sS3 * Ws, st.wp) + st.up
             wp = jnp.maximum(tp, 0.0)
             up = tp - wp
 
@@ -412,7 +440,7 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
                 u1=u1, u2=u2, u3=u3, u4=u4, usoc=usoc, ubox=ubox,
                 ua=ua, ub=ub, uc=uc,
                 X=Xs, Y=Y, Th=Ths, U=U, rho=rho_b,
-                sX=c0.sX, sT=c0.sT,
+                sX=c0.sX, sT=c0.sT, sS=c0.sS,
             )
             return ShorADMMState(core=core, W=Ws, v1=v1, v2=v2, v3=v3,
                                  w5=w5, u5=u5, wr=wr, ur=ur, wl=wl, ul=ul,
@@ -474,6 +502,7 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
             lb, lb_est = safe_dual_bound_shor2(
                 jnp, A, mask, batch, sb, ybar[0], ybar[1], ybar[2], ybar[3],
                 ybar[4], ybar[5], ybar[6], ybar[7], gamma, ub_bar,
+                sX=state.core.sX, sS=state.core.sS,
             )
             b_ybar, b_lb, b_est = best
             take = lb_est > b_est
@@ -515,6 +544,8 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
         out = {
             "X": sX * c0.X, "Y": c0.Y, "Th": sT * c0.Th, "U": c0.U,
             "W": sW * state.W,
+            "sX": state.core.sX,  # minor-slot rescale factor (certification)
+            "sS": state.core.sS,  # Shor-row weight (certification)
             "y1": ybar[0], "y2": ybar[1],
             "ya": ybar[2], "yb": ybar[3], "yc": ybar[4],
             "y5": ybar[5], "yr": ybar[6], "yl": ybar[7],
@@ -586,12 +617,20 @@ def _scatter_add(xp, arr, bidx, idx, val):
 
 
 def safe_dual_bound_shor(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya, yb,
-                         yc, y5, yr, yl, gamma, ub_bar, margin_rel=None):
+                         yc, y5, yr, yl, gamma, ub_bar, margin_rel=None,
+                         sX=1.0, sS=1.0):
     """Closed-form safe Lagrangian dual bound for the rank-1 Shor
     relaxation — valid for ANY solver state (see the host docstring).
     Backend-agnostic: numpy for certified f64 host evaluation, jnp for the
     on-device early-exit screen inside the compiled loop.  ``sb`` is any
-    object with the ShorBatch(Host) field layout."""
+    object with the ShorBatch(Host) field layout.
+
+    ``sX`` is the minor-slot diagonal-rescaling factor (see
+    ``_forward_shor``): the solver's 5x5 slots are D M D with
+    D = diag(1, 1/sX, .., 1/sX) and its RSOC rows are (0.5, W/sX^2,
+    X/sX); the multiplier on the RAW constraint M >= 0 is therefore
+    D S5 D, i.e. the X/W/V scatter coefficients below divide by
+    sX / sX^2."""
     n, m = A.shape[-2], A.shape[-1]
     B = y1.shape[0]
     k = 1
@@ -622,6 +661,15 @@ def safe_dual_bound_shor(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya, yb,
     c_r = c_r[..., 0]
     a_r, b_r, c_r = a_r * socm, b_r * socm, c_r * socm
     mu = -yl  # (B, m), free
+    # raw-constraint multipliers of the RESCALED minor/RSOC slots (see
+    # the sX docstring note): divide X coefficients by sX, W/V by sX^2
+    sX = xp.asarray(sX, A.dtype) if xp is not np else np.asarray(sX)
+    sX = xp.reshape(sX, (-1, 1)) if sX.ndim else sX
+    sS = xp.asarray(sS, A.dtype) if xp is not np else np.asarray(sS)
+    sS = xp.reshape(sS, (-1, 1)) if sS.ndim else sS
+    # the solver slot is sS * D M D: raw multiplier = sS * D S5 D
+    inv_x = sS / sX
+    inv_w = sS / (sX * sX)
 
     # ---- Y / U / cut terms (as in the base bound) ----
     G_Y = -(P1 + P2) + xp.einsum("bl,bln,blp->bnp", lam, cut_x, cut_x)
@@ -664,23 +712,29 @@ def safe_dual_bound_shor(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya, yb,
     bidx = (np.arange(B)[:, None] if xp is np
             else jnp.arange(B)[:, None])
     for fi, col in zip(fl, (1, 2, 3, 4)):
-        coef_X = _scatter_add(xp, coef_X, bidx, fi, -2.0 * S5[..., 0, col])
-        coef_W = _scatter_add(xp, coef_W, bidx, fi, -S5[..., col, col])
+        coef_X = _scatter_add(xp, coef_X, bidx, fi,
+                              -2.0 * inv_x * S5[..., 0, col])
+        coef_W = _scatter_add(xp, coef_W, bidx, fi,
+                              -inv_w * S5[..., col, col])
     sflat = sb.soc_idx[..., 0] * m + sb.soc_idx[..., 1]
-    coef_X = _scatter_add(xp, coef_X, bidx, sflat, -c_r)
-    coef_W = _scatter_add(xp, coef_W, bidx, sflat, -b_r)
+    coef_X = _scatter_add(xp, coef_X, bidx, sflat, -inv_x * c_r)
+    coef_W = _scatter_add(xp, coef_W, bidx, sflat, -inv_w * b_r)
 
     zz = (np.zeros if xp is np else
           (lambda s: jnp.zeros(s, dtype=A.dtype)))
     coef_v1 = zz((B, sb.cnt_v1.shape[1]))
     coef_v2 = zz((B, sb.cnt_v2.shape[1]))
     coef_v3 = zz((B, sb.cnt_v3.shape[1]))
-    coef_v1 = _scatter_add(xp, coef_v1, bidx, sb.iv1a, -2.0 * S5[..., 1, 2])
-    coef_v1 = _scatter_add(xp, coef_v1, bidx, sb.iv1b, -2.0 * S5[..., 3, 4])
-    coef_v2 = _scatter_add(xp, coef_v2, bidx, sb.iv2a, -2.0 * S5[..., 1, 3])
-    coef_v2 = _scatter_add(xp, coef_v2, bidx, sb.iv2b, -2.0 * S5[..., 2, 4])
+    coef_v1 = _scatter_add(xp, coef_v1, bidx, sb.iv1a,
+                           -2.0 * inv_w * S5[..., 1, 2])
+    coef_v1 = _scatter_add(xp, coef_v1, bidx, sb.iv1b,
+                           -2.0 * inv_w * S5[..., 3, 4])
+    coef_v2 = _scatter_add(xp, coef_v2, bidx, sb.iv2a,
+                           -2.0 * inv_w * S5[..., 1, 3])
+    coef_v2 = _scatter_add(xp, coef_v2, bidx, sb.iv2b,
+                           -2.0 * inv_w * S5[..., 2, 4])
     coef_v3 = _scatter_add(xp, coef_v3, bidx, sb.iv3,
-                           -2.0 * (S5[..., 1, 4] + S5[..., 2, 3]))
+                           -2.0 * inv_w * (S5[..., 1, 4] + S5[..., 2, 3]))
 
     # Joint per-coordinate infimum over the kept set
     #   {(X, W): |X| <= R_X, X^2 <= W <= Wmax}
@@ -705,10 +759,11 @@ def safe_dual_bound_shor(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya, yb,
         + xp.sum(xp.abs(coef_v3), axis=-1)
     )
 
+    sS1 = sS[..., 0] if getattr(sS, "ndim", 0) else sS
     const = (
         0.5 * xp.sum(mask * A * A)
-        - xp.sum(S5[..., 0, 0], axis=-1)
-        - 0.5 * xp.sum(a_r, axis=-1)
+        - sS1 * xp.sum(S5[..., 0, 0], axis=-1)
+        - 0.5 * sS1 * xp.sum(a_r, axis=-1)
         - xp.trace(E, axis1=-2, axis2=-1)
         + cut_const
     )
@@ -726,7 +781,7 @@ def safe_dual_bound_shor(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya, yb,
 
 
 def safe_dual_bound_shor2(xp, A, mask, batch, sb, y1, y2, ya, yb, yc, y5,
-                          yr, yl, gamma, ub_bar):
+                          yr, yl, gamma, ub_bar, sX=1.0, sS=1.0):
     """``(lb_valid, lb_est)``: the margined safe bound plus the unmargined
     value as a float64-tracking exit estimator (measured within ~1e-4
     relative of the host float64 bound on rank-1 Shor instances; the
@@ -734,7 +789,7 @@ def safe_dual_bound_shor2(xp, A, mask, batch, sb, y1, y2, ya, yb, yc, y5,
     costs a requeue, never soundness)."""
     lb = safe_dual_bound_shor(
         xp, A, mask, batch, sb, y1, y2, ya, yb, yc, y5, yr, yl, gamma,
-        ub_bar, margin_rel=0.0,
+        ub_bar, margin_rel=0.0, sX=sX, sS=sS,
     )
     margin_rel = margin_rel_default(xp, A.dtype)
     # scale recomputation would need the projected multipliers again; a
@@ -776,4 +831,5 @@ def host_certified_bound_shor(A, mask, batch: NodeBatch, sbh: ShorBatchHost,
         np, f(A), f(mask), hb, sbf, f(out["y1"]), f(out["y2"]), f(out["ya"]),
         f(out["yb"]), f(out["yc"]), f(out["y5"]), f(out["yr"]), f(out["yl"]),
         float(gamma), float(ub_bar), margin_rel=margin_rel,
+        sX=f(out.get("sX", 1.0)), sS=f(out.get("sS", 1.0)),
     )

@@ -590,11 +590,18 @@ def mccormick_safe_dual_bound(xp, A, mask, U_lo, U_hi, y1, y2, ymc, yorth,
         axis=-2,
     )
     S1 = _psd(S1in)
-    lmaxR1 = xp.linalg.eigvalsh(S1[..., n:, n:])[..., -1]
+    # structural off-support zeroing + delta-shift compensation (see
+    # omc.sdp.relax.safe_dual_bound2): kills the R_X-amplified noise
+    # channel on unobserved entries at any compute precision
+    q_off = xp.where(obs, 0.0, S1[..., :n, n:])
+    dshift = xp.sqrt(xp.sum(q_off * q_off, axis=(-2, -1)))
+    lmaxR1 = xp.linalg.eigvalsh(S1[..., n:, n:])[..., -1] + dshift
     c_scale = xp.minimum(1.0, (0.5 / gamma) / xp.maximum(lmaxR1, 1e-30))
     S1 = S1 * c_scale[..., None, None]
+    dshift = dshift * c_scale
     S2 = _psd(-y2)
     P1, qblk, R1 = S1[..., :n, :n], S1[..., :n, n:], S1[..., n:, n:]
+    qblk = xp.where(obs, qblk, 0.0)
     P2, E = S2[..., :n, :n], S2[..., n:, n:]
     D = S2[..., :n, n:]
 
@@ -603,26 +610,26 @@ def mccormick_safe_dual_bound(xp, A, mask, U_lo, U_hi, y1, y2, ymc, yorth,
 
     s, c1, c2, d = mccormick_coeffs(U_lo, U_hi, J1, J2, xp=xp)
 
-    # Y block
+    # Y block (delta I shift on P1 moves eigenvalues down by delta)
     G_Y = -(P1 + P2)
     G_Y = 0.5 * (G_Y + xp.swapaxes(G_Y, -1, -2))
     wY = xp.linalg.eigh(G_Y)[0]
-    y_term = xp.sum(xp.minimum(wY[..., :k], 0.0), axis=-1)
+    y_term = xp.sum(
+        xp.minimum(wY[..., :k] - dshift[..., None], 0.0), axis=-1
+    )
 
-    # Theta block
+    # Theta block (R1 + delta I <= I/(2 gamma) by the rescale)
     T_th = 2.0 * gamma * ub_bar
     G_Th = (0.5 / gamma) * xp.eye(m, dtype=A.dtype) - R1
     G_Th = 0.5 * (G_Th + xp.swapaxes(G_Th, -1, -2))
     wT = xp.linalg.eigh(G_Th)[0]
-    th_term = T_th * xp.minimum(wT[..., 0], 0.0)
+    th_term = T_th * xp.minimum(wT[..., 0] - dshift, 0.0)
 
-    # X block
+    # X block: q structurally zero off-support
     R_X = xp.sqrt(2.0 * gamma * ub_bar)
     x_star = xp.clip(A + 2.0 * qblk, -R_X, R_X)
     obs_t = 0.5 * (x_star - A) ** 2 - 2.0 * qblk * x_star
-    x_term = xp.sum(
-        xp.where(mask > 0, obs_t, -2.0 * R_X * xp.abs(qblk)), axis=(-2, -1)
-    )
+    x_term = xp.sum(xp.where(mask > 0, obs_t, 0.0), axis=(-2, -1))
 
     # U block: -2 D - sum over envelope rows of lam * (c1 -> J1, c2 -> J2)
     mc1 = xp.sum(lam * c1, axis=-3)  # (B, n, q)

@@ -262,15 +262,15 @@ class ShorKState(NamedTuple):
 
 
 def init_shor_k_state(B, n, m, k, L, M5, Ms, dtype=jnp.float32, *, sX=1.0,
-                      sT=1.0, rho=0.02, X0=None, Y0=None, Th0=None,
+                      sT=1.0, sS=1.0, rho=0.02, X0=None, Y0=None, Th0=None,
                       U0=None) -> ShorKState:
     C = 4 * M5
     P1 = P2 = 2 * M5
     P3 = M5
     kp = (k * (k - 1)) // 2
     z = lambda *s: jnp.zeros(s, dtype=dtype)
-    core = init_admm_state(B, n, m, k, L, dtype, sX=sX, sT=sT, rho=rho,
-                           X0=X0, Y0=Y0, Th0=Th0, U0=U0)
+    core = init_admm_state(B, n, m, k, L, dtype, sX=sX, sT=sT, sS=sS,
+                           rho=rho, X0=X0, Y0=Y0, Th0=Th0, U0=U0)
     Xt0 = z(B, k, n, m)
     if X0 is not None:
         # split the warm primal evenly across terms (any split with the
@@ -325,30 +325,36 @@ def _pair_indices(k: int):
 
 
 def _forward_shor_k(sb: ShorKBatch, Xt_s, Ws, Wts, Hs, v1s, v2s, v3s,
-                    k: int, m: int, sX, sW):
+                    k: int, m: int, sX, sW, sS=1.0):
     """Slot values: w5 (B,M5,k,5,5), wx (B,C,k+1,k+1), wr (B,Ms,3),
     wcol (B,m) = sum_i W_ij, wwl (B,C)."""
     B = Xt_s.shape[0]
     M5 = sb.minor_mask.shape[1]
     C = sb.coord_mask.shape[1]
     # per-slot (B,) runtime scales (or python scalars in tests)
-    sX = jnp.reshape(jnp.asarray(sX, Xt_s.dtype), (-1,))
     sW = jnp.reshape(jnp.asarray(sW, Xt_s.dtype), (-1,))
-    s4x = sX[:, None, None, None]
     s3w = sW[:, None, None]
-    Xf = (s4x * Xt_s).reshape(B, k, -1)  # (B, k, n*m)
+    sS = jnp.reshape(jnp.asarray(sS, Xt_s.dtype), (-1,))
+    # DIAGONAL RESCALING (round-4 verdict item 1, k > 1 path): the 5x5
+    # minor and (k+1)x(k+1) XWH slots are D M D with
+    # D = diag(1, 1/sX, ...), i.e. built from the SCALED variables
+    # Xts = Xt/sX, Wts = Wt/sX^2, Hs = H/sX^2 — O(1) entries for the f32
+    # PSD projection.  RSOC rows use (0.5, Ws, sum_t Xts) (same cone) and
+    # the W-link row is divided by sW (coefficients +1/-1/-2 on scaled
+    # variables).  Only the Theta-link row stays on raw variables.
+    Xf = Xt_s.reshape(B, k, -1)  # (B, k, n*m), scaled
     corner_flat = jnp.take_along_axis(sb.coord_flat, sb.mc.reshape(B, -1), axis=1)
     corner_flat = corner_flat.reshape(B, M5, 4)
 
     xs = [_gather_bk(Xf, corner_flat[..., c]) for c in range(4)]  # 4 x (B,k,M5)
     ws = [
-        _gather_bk(s3w * Wts, sb.mc[..., c]) for c in range(4)
-    ]  # Wt at the corner coords
-    V1a = _gather_bk(s3w * v1s, sb.iv1a)
-    V1b = _gather_bk(s3w * v1s, sb.iv1b)
-    V2a = _gather_bk(s3w * v2s, sb.iv2a)
-    V2b = _gather_bk(s3w * v2s, sb.iv2b)
-    V3 = _gather_bk(s3w * v3s, sb.iv3)
+        _gather_bk(Wts, sb.mc[..., c]) for c in range(4)
+    ]  # Wt at the corner coords (scaled)
+    V1a = _gather_bk(v1s, sb.iv1a)
+    V1b = _gather_bk(v1s, sb.iv1b)
+    V2a = _gather_bk(v2s, sb.iv2a)
+    V2b = _gather_bk(v2s, sb.iv2b)
+    V3 = _gather_bk(v3s, sb.iv3)
     one = jnp.ones_like(xs[0])
     x11, x12, x21, x22 = xs
     w11, w12, w21, w22 = ws
@@ -360,12 +366,14 @@ def _forward_shor_k(sb: ShorKBatch, Xt_s, Ws, Wts, Hs, v1s, v2s, v3s,
         [x22, V3, V2b, V1b, w22],
     ]
     w5 = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
-    w5 = jnp.moveaxis(w5, 1, 2)  # (B, k, M5, 5, 5) -> (B, M5, k, 5, 5)
+    w5 = sS[:, None, None, None, None] * jnp.moveaxis(
+        w5, 1, 2
+    )  # (B, k, M5, 5, 5) -> (B, M5, k, 5, 5)
 
     # XWH block per coordinate
     Xc = _gather_bk(Xf, sb.coord_flat)  # (B, k, C)
     Xc = jnp.swapaxes(Xc, 1, 2)  # (B, C, k)
-    Wc = jnp.swapaxes(s3w * Wts, 1, 2)  # (B, C, k)
+    Wc = jnp.swapaxes(Wts, 1, 2)  # (B, C, k), scaled
     kp = Hs.shape[1]
     wx = jnp.zeros((B, C, k + 1, k + 1), dtype=Xt_s.dtype)
     wx = wx.at[..., 0, 0].set(1.0)
@@ -375,16 +383,17 @@ def _forward_shor_k(sb: ShorKBatch, Xt_s, Ws, Wts, Hs, v1s, v2s, v3s,
     wx = wx.at[..., tt + 1, tt + 1].set(Wc)
     if kp:
         t1s, t2s = _pair_indices(k)
-        Hc = jnp.swapaxes(s3w * Hs, 1, 2)  # (B, C, kp)
+        Hc = jnp.swapaxes(Hs, 1, 2)  # (B, C, kp), scaled
         t1a = jnp.asarray(t1s)
         t2a = jnp.asarray(t2s)
         wx = wx.at[..., t1a + 1, t2a + 1].set(Hc)
         wx = wx.at[..., t2a + 1, t1a + 1].set(Hc)
 
+    wx = sS[:, None, None, None] * wx
     # RSOC rows on the complement: (0.5, W, X) with X = sum_t Xt
-    Xsum = jnp.sum(Xf, axis=1)  # (B, n*m)
-    Wf = (s3w * Ws).reshape(B, -1)
-    wr = jnp.stack(
+    Xsum = jnp.sum(Xf, axis=1)  # (B, n*m), scaled
+    Wf = Ws.reshape(B, -1)  # scaled
+    wr = sS[:, None, None] * jnp.stack(
         [
             0.5 * jnp.ones(sb.soc_flat.shape, Xt_s.dtype),
             jnp.take_along_axis(Wf, sb.soc_flat, axis=1),
@@ -392,26 +401,31 @@ def _forward_shor_k(sb: ShorKBatch, Xt_s, Ws, Wts, Hs, v1s, v2s, v3s,
         ],
         axis=-1,
     )
-    wcol = jnp.sum(s3w * Ws, axis=-2)  # (B, m)
-    # W-link: W_c - sum_t Wt - 2 sum_p H on minor coordinates
+    wcol = jnp.sum(s3w * Ws, axis=-2)  # (B, m): Theta-link, RAW scale
+    # W-link (scaled by sS/sW): Ws_c - sum_t Wts - 2 sum_p Hs
     Wat = jnp.take_along_axis(Wf, sb.coord_flat, axis=1)  # (B, C)
-    wwl = (
-        Wat - jnp.sum(s3w * Wts, axis=1) - 2.0 * jnp.sum(s3w * Hs, axis=1)
+    wwl = sS[:, None] * (
+        Wat - jnp.sum(Wts, axis=1) - 2.0 * jnp.sum(Hs, axis=1)
     ) * sb.coord_mask
     return w5, wx, wr, wcol, wwl
 
 
 def _adjoint_shor_k(sb: ShorKBatch, y5, yx, yr, yl, ywl, B, n, m, k, kp,
-                    sX, sW):
+                    sX, sW, sS=1.0):
     """Adjoint: duals -> gradients on (Xt_s, Ws, Wts, Hs, v1s, v2s, v3s).
     The Theta-diagonal contribution of yl is added by the caller."""
     M5 = sb.minor_mask.shape[1]
     C = sb.coord_mask.shape[1]
-    # per-slot (B,) runtime scales (or python scalars in tests)
-    sX = jnp.reshape(jnp.asarray(sX, y5.dtype), (-1,))
+    # per-slot (B,) runtime scales; minor/XWH/RSOC/W-link rows are on the
+    # SCALED variables (coefficient 1.0 — see _forward_shor_k), only the
+    # Theta-link row keeps the raw coefficient -sW on W
     sW = jnp.reshape(jnp.asarray(sW, y5.dtype), (-1,))
-    s2x, s2w = sX[:, None], sW[:, None]
-    s3x, s3w = sX[:, None, None], sW[:, None, None]
+    s3w = sW[:, None, None]
+    sS = jnp.reshape(jnp.asarray(sS, y5.dtype), (-1,))
+    y5 = sS[:, None, None, None, None] * y5
+    yx = sS[:, None, None, None] * yx
+    yr = sS[:, None, None] * yr
+    ywl = sS[:, None] * ywl
     y5 = y5 * sb.minor_mask[..., None, None, None]
     yx = yx * sb.coord_mask[..., None, None]
     yr = yr * sb.soc_mask[..., None]
@@ -425,46 +439,46 @@ def _adjoint_shor_k(sb: ShorKBatch, y5, yx, yr, yl, ywl, B, n, m, k, kp,
     gWt = jnp.zeros((B, k, C), dtype=y5.dtype)
     for c in range(4):
         gXt = _scatter_add_bk(gXt, corner_flat[..., c],
-                              s3x * 2.0 * y5k[..., 0, c + 1])
+                              2.0 * y5k[..., 0, c + 1])
         gWt = _scatter_add_bk(gWt, sb.mc[..., c],
-                              s3w * y5k[..., c + 1, c + 1])
+                              y5k[..., c + 1, c + 1])
     gv1 = jnp.zeros((B, k, sb.cnt_v1.shape[1]), dtype=y5.dtype)
     gv2 = jnp.zeros((B, k, sb.cnt_v2.shape[1]), dtype=y5.dtype)
     gv3 = jnp.zeros((B, k, sb.cnt_v3.shape[1]), dtype=y5.dtype)
-    gv1 = _scatter_add_bk(gv1, sb.iv1a, s3w * 2.0 * y5k[..., 1, 2])
-    gv1 = _scatter_add_bk(gv1, sb.iv1b, s3w * 2.0 * y5k[..., 3, 4])
-    gv2 = _scatter_add_bk(gv2, sb.iv2a, s3w * 2.0 * y5k[..., 1, 3])
-    gv2 = _scatter_add_bk(gv2, sb.iv2b, s3w * 2.0 * y5k[..., 2, 4])
+    gv1 = _scatter_add_bk(gv1, sb.iv1a, 2.0 * y5k[..., 1, 2])
+    gv1 = _scatter_add_bk(gv1, sb.iv1b, 2.0 * y5k[..., 3, 4])
+    gv2 = _scatter_add_bk(gv2, sb.iv2a, 2.0 * y5k[..., 1, 3])
+    gv2 = _scatter_add_bk(gv2, sb.iv2b, 2.0 * y5k[..., 2, 4])
     gv3 = _scatter_add_bk(gv3, sb.iv3,
-                          s3w * 2.0 * (y5k[..., 1, 4] + y5k[..., 2, 3]))
+                          2.0 * (y5k[..., 1, 4] + y5k[..., 2, 3]))
 
     # XWH adjoint
-    gXc = s3x * 2.0 * yx[..., 0, 1:]  # (B, C, k)
+    gXc = 2.0 * yx[..., 0, 1:]  # (B, C, k)
     gXt = _scatter_add_bk(gXt, sb.coord_flat, jnp.swapaxes(gXc, 1, 2))
     tt = jnp.arange(k)
-    gWt = gWt + s3w * jnp.swapaxes(yx[..., tt + 1, tt + 1], 1, 2)
+    gWt = gWt + jnp.swapaxes(yx[..., tt + 1, tt + 1], 1, 2)
     gH = jnp.zeros((B, kp, C), dtype=y5.dtype)
     if kp:
         t1s, t2s = _pair_indices(k)
         t1a = jnp.asarray(t1s)
         t2a = jnp.asarray(t2s)
-        gHc = s3w * (yx[..., t1a + 1, t2a + 1] + yx[..., t2a + 1, t1a + 1])
+        gHc = yx[..., t1a + 1, t2a + 1] + yx[..., t2a + 1, t1a + 1]
         gH = jnp.swapaxes(gHc, 1, 2)
 
     # RSOC rows: the X slot is sum_t Xt, so the gradient lands on every term
     gWf = jnp.zeros((B, n * m), dtype=y5.dtype)
     bidx = jnp.arange(B)[:, None]
-    gWf = gWf.at[bidx, sb.soc_flat].add(s2w * yr[..., 1])
+    gWf = gWf.at[bidx, sb.soc_flat].add(yr[..., 1])
     gXt = _scatter_add_bk(
         gXt, sb.soc_flat,
-        jnp.broadcast_to((s2x * yr[..., 2])[:, None, :],
+        jnp.broadcast_to(yr[..., 2][:, None, :],
                          (B, k, yr.shape[1])),
     )
 
     # W-link adjoint: +ywl on W_c, -ywl on Wt[:, c], -2 ywl on H[:, c]
-    gWf = gWf.at[bidx, sb.coord_flat].add(s2w * ywl)
-    gWt = gWt - s3w * ywl[:, None, :]
-    gH = gH - 2.0 * s3w * ywl[:, None, :]
+    gWf = gWf.at[bidx, sb.coord_flat].add(ywl)
+    gWt = gWt - ywl[:, None, :]
+    gH = gH - 2.0 * ywl[:, None, :]
 
     # Theta-link rows: -yl_j on every W_ij
     gW = gWf.reshape(B, n, m) - s3w * yl[:, None, :]
@@ -522,7 +536,11 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
         sT2 = state.core.sT[:, None]
         sW = sX * sX
         sW2 = sW_f[:, None]
-        sW4_2 = (sW_f * sW_f)[:, None]
+        sS_f = state.core.sS  # (B,) uniform Shor-row weight
+        sS2 = sS_f[:, None]
+        sS3 = sS_f[:, None, None]
+        ss2 = (sS_f * sS_f)[:, None]  # (B, 1)
+        ss2_3 = ss2[..., None]  # (B, 1, 1)
 
         G1 = _gram1(batch, k, dtype)
         G1c = jax.lax.linalg.cholesky(G1)
@@ -538,26 +556,32 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
         # the k x k block c1x J_k is singular), so a proximal term
         # tau_x ||Xt - Xt_prev||^2 regularises the split — standard
         # proximal ADMM, convergent, and exact in the sum direction.
+        # K'K diagonals: M1/RSOC rows couple terms through X = sum Xt
+        # (c1x); minor/XWH/RSOC/W>=0 slots are coefficient 1.0 on the
+        # scaled variables (diagonal rescaling, see _forward_shor_k)
         tau_x = sX * sX
-        D1x = sX * sX * (2.0 * sb.cnt_minor + 2.0 * sb.is_coord) + tau_x
-        c1x = sX * sX * (2.0 + sb.is_soc)
-        D1w = sW4_2 * (1.0 + sb.is_soc.reshape(B, -1))  # (B, n*m)
-        D1wt = sW4_2 * (sb.coord_minor_cnt + cdm + 1.0)  # (B, C)
-        D1h = sW4_2 * jnp.maximum(2.0 * cdm, 1.0)  # (B, C)
-        D1v1 = sW4_2 * jnp.maximum(sb.cnt_v1, 1.0)
-        D1v2 = sW4_2 * jnp.maximum(sb.cnt_v2, 1.0)
-        D1v3 = sW4_2 * jnp.maximum(sb.cnt_v3, 1.0)
+        ss2m = (sS_f * sS_f)[:, None, None]  # (B, 1, 1) for (B, n, m)
+        D1x = ss2m * (2.0 * sb.cnt_minor + 2.0 * sb.is_coord) + tau_x
+        c1x = 2.0 * sX * sX + ss2m * sb.is_soc
+        D1w = ss2 * (1.0 + sb.is_soc.reshape(B, -1))  # (B, n*m)
+        D1wt = ss2 * (sb.coord_minor_cnt + cdm + 1.0)  # (B, C)
+        D1h = ss2 * jnp.maximum(2.0 * cdm, 1.0)  # (B, C)
+        D1v1 = ss2 * jnp.maximum(sb.cnt_v1, 1.0)
+        D1v2 = ss2 * jnp.maximum(sb.cnt_v2, 1.0)
+        D1v3 = ss2 * jnp.maximum(sb.cnt_v3, 1.0)
 
         # --- link Woodbury (diagonal Schur; see module docstring) ---
         D1w_mat = D1w.reshape(B, n, m)
+        # Theta-link column: coefficient 1 on Ths (D1th = sT^2 -> 1) and
+        # -sW on the RAW-variable side of every Ws entry
         A_th = 2.0 + jnp.sum((sW * sW) / D1w_mat, axis=1)  # (B, m)
         D1w_c = jnp.take_along_axis(D1w, sb.coord_flat, axis=1)  # (B, C)
-        D_c = 1.0 + cdm * (
-            sW4_2 / D1w_c
-            + k * sW4_2 / D1wt
-            + kp * 4.0 * sW4_2 / D1h
+        # W-link column (sS-weighted row): +sS on Ws_c, -sS on Wts, -2sS
+        D_c = 1.0 + cdm * ss2 * (
+            1.0 / D1w_c + k / D1wt + kp * 4.0 / D1h
         )
-        B_jc = -cdm * sW4_2 / D1w_c  # (B, C): entry (coord_j[c], c)
+        # Theta-link x W-link overlap through Ws_c: (-sW) * (+sS)
+        B_jc = -cdm * sW2 * sS2 / D1w_c  # (B, C): entry (coord_j[c], c)
         bidx = jnp.arange(B)[:, None]
         S_th = A_th - jnp.zeros_like(A_th).at[bidx, sb.coord_j].add(
             B_jc * B_jc / D_c
@@ -579,7 +603,7 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
                jnp.zeros_like(state.v1), jnp.zeros_like(state.v2),
                jnp.zeros_like(state.v3))
         offs5, offsx, offsr, _, _ = _forward_shor_k(
-            sb, *zsh, k, m, sX_f, sW_f
+            sb, *zsh, k, m, sX_f, sW_f, sS_f
         )
 
         R_Xs4 = jnp.sqrt(2.0 * gamma * ub_bar).astype(dtype) / sX4
@@ -605,11 +629,11 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
                 sb,
                 st.w5 - st.u5 - offs5, st.wx - st.ux - offsx,
                 st.wr - st.ur - offsr, st.wl - st.ul, st.wwl - st.uwl,
-                B, n, m, k, kp, sX_f, sW_f,
+                B, n, m, k, kp, sX_f, sW_f, sS_f,
             )
-            # W >= 0 and Wt >= 0 identity slots
-            gW = gW + sW * (st.wp - st.up)
-            gWt = gWt + sW * (st.wq - st.uq)
+            # W >= 0 and Wt >= 0 identity slots (sS-weighted)
+            gW = gW + sS3 * (st.wp - st.up)
+            gWt = gWt + sS3 * (st.wq - st.uq)
             # Theta-link touches the Theta diagonal with coefficient sT
             yl = st.wl - st.ul
             rTh_l = sT * yl[:, None, :] * jnp.eye(m, dtype=dtype)
@@ -657,10 +681,10 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
             p = sT2 * jnp.diagonal(zTh, axis1=-2, axis2=-1) - sW2 * jnp.sum(
                 zW_mat, axis=1
             )
-            q = cdm * (
-                sW2 * jnp.take_along_axis(zW, sb.coord_flat, axis=1)
-                - sW2 * jnp.sum(zWt, axis=1)
-                - 2.0 * sW2 * jnp.sum(zH, axis=1)
+            q = cdm * sS2 * (
+                jnp.take_along_axis(zW, sb.coord_flat, axis=1)
+                - jnp.sum(zWt, axis=1)
+                - 2.0 * jnp.sum(zH, axis=1)
             )
             a, bb = link_solve(p, q)
             # corrections: z -= D1^{-1} V2 [a; b]
@@ -670,10 +694,10 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
             # W-link corrections
             zW_flat = zW_mat.reshape(B, -1)
             zW_flat = zW_flat.at[bidx, sb.coord_flat].add(
-                -(sW2 * bb * cdm) / D1w_c
+                -(sS2 * bb * cdm) / D1w_c
             )
-            zWt = zWt - (-(sW2) * bb * cdm / D1wt)[:, None, :]
-            zH = zH - (-(2.0 * sW2) * bb * cdm / D1h)[:, None, :]
+            zWt = zWt - (-(sS2 * bb) * cdm / D1wt)[:, None, :]
+            zH = zH - (-(2.0 * sS2) * bb * cdm / D1h)[:, None, :]
 
             Y = 0.5 * (zY + jnp.swapaxes(zY, -1, -2))
             Ths = 0.5 * (zTh + jnp.swapaxes(zTh, -1, -2))
@@ -685,7 +709,7 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
             Xsum = jnp.sum(Xt, axis=1)
             f = _forward(batch, Xsum, Y, Ths, U, k, sX, sT)
             f5, fx, fr, fw_col, fwl = _forward_shor_k(
-                sb, Xt, W, zWt, zH, zv1, zv2, zv3, k, m, sX_f, sW_f
+                sb, Xt, W, zWt, zH, zv1, zv2, zv3, k, m, sX_f, sW_f, sS_f
             )
             f_link = sT2 * jnp.diagonal(Ths, axis1=-2, axis2=-1) - fw_col
 
@@ -737,10 +761,10 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
             twl = alpha * fwl + st.uwl
             wwl = jnp.zeros_like(twl)
             uwl = twl * cdm
-            tp = relax_mix(sW * W, st.wp) + st.up
+            tp = relax_mix(sS3 * W, st.wp) + st.up
             wp = jnp.maximum(tp, 0.0)
             up = tp - wp
-            tq = relax_mix(sW * zWt, st.wq) + st.uq
+            tq = relax_mix(sS3 * zWt, st.wq) + st.uq
             wq = jnp.maximum(tq, 0.0)
             uq = tq - wq
 
@@ -750,7 +774,7 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
                 u1=u1, u2=u2, u3=u3, u4=u4, usoc=usoc, ubox=ubox,
                 ua=ua, ub=ub, uc=uc,
                 X=Xsum, Y=Y, Th=Ths, U=U, rho=rho_b,
-                sX=c0.sX, sT=c0.sT,
+                sX=c0.sX, sT=c0.sT, sS=c0.sS,
             )
             return ShorKState(
                 core=core, Xt=Xt, W=W, Wt=zWt, Hh=zH, v1=zv1, v2=zv2, v3=zv3,
@@ -822,7 +846,7 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
             lb, lb_est = safe_dual_bound_shor_k2(
                 jnp, A, mask, batch, sb, ybar[0], ybar[1], ybar[2], ybar[3],
                 ybar[4], ybar[5], ybar[6], ybar[7], ybar[8], ybar[9],
-                gamma, k, ub_bar,
+                gamma, k, ub_bar, sX=state.core.sX, sS=state.core.sS,
             )
             b_ybar, b_lb, b_est = best
             take = lb_est > b_est
@@ -867,6 +891,8 @@ def make_shor_k_solver(n: int, m: int, k: int, L: int, M5: int, Ms: int,
         out = {
             "X": sX * c0.X, "Xt": sX4 * state.Xt, "Y": c0.Y,
             "Th": sT * c0.Th, "U": c0.U, "W": sW * state.W,
+            "sX": state.core.sX,  # slot rescale factor (certification)
+            "sS": state.core.sS,  # Shor-row weight (certification)
             "y1": ybar[0], "y2": ybar[1],
             "ya": ybar[2], "yb": ybar[3], "yc": ybar[4],
             "y5": ybar[5], "yx": ybar[6], "yr": ybar[7],
@@ -916,7 +942,7 @@ def _scat_b(xp, arr, idx_bM, val_bM):
 
 def safe_dual_bound_shor_k(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya,
                            yb, yc, y5, yx, yr, yl, ywl, gamma, k: int,
-                           ub_bar, margin_rel=None):
+                           ub_bar, margin_rel=None, sX=1.0, sS=1.0):
     """Closed-form safe Lagrangian dual bound for the rank-k Shor
     relaxation — valid for ANY solver state (weak duality; multipliers
     are cone-projected here, in float64 when called from the host).
@@ -961,6 +987,22 @@ def safe_dual_bound_shor_k(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya,
     c_r = c_r[..., 0]
     a_r, b_r, c_r = a_r * socm, b_r * socm, c_r * socm
     ywl = ywl * cdm  # free (W-link); yl free (Theta-link)
+    # raw-constraint multipliers of the RESCALED slots (the solver's 5x5 /
+    # XWH blocks are D M D with D = diag(1, 1/sX, ...), its RSOC rows use
+    # scaled variables, and its W-link row is divided by sW = sX^2 — see
+    # _forward_shor_k): X coefficients divide by sX, W/Wt/H/V by sX^2
+    sX = xp.asarray(sX, A.dtype) if xp is not np else np.asarray(sX)
+    sS = xp.asarray(sS, A.dtype) if xp is not np else np.asarray(sS)
+    batched_scales = bool(sX.ndim) or bool(sS.ndim)
+    if batched_scales:
+        sX = xp.reshape(sX, (-1, 1)) if sX.ndim else sX
+        sS = xp.reshape(sS, (-1, 1)) if sS.ndim else sS
+    # the solver slot is sS * D M D: raw multiplier = sS * D S D
+    inv_x2 = sS / sX
+    inv_x3 = inv_x2[..., None] if batched_scales else inv_x2
+    inv_w2 = sS / (sX * sX)
+    inv_w3 = inv_w2[..., None] if batched_scales else inv_w2
+    sS1 = sS[..., 0] if getattr(sS, "ndim", 0) else sS
 
     # ---- Y / U / cut terms ----
     G_Y = -(P1_ + P2_) + xp.einsum("bl,bln,blp->bnp", lam, cut_x, cut_x)
@@ -1000,16 +1042,17 @@ def safe_dual_bound_shor_k(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya,
     for corner in range(4):
         coef_Xt = _scat_bk(
             xp, coef_Xt, corner_flat[..., corner],
-            -2.0 * S5k[..., 0, corner + 1],
+            -2.0 * inv_x3 * S5k[..., 0, corner + 1],
         )
     # XWH X coefficients
     coef_Xt = _scat_bk(
-        xp, coef_Xt, sb.coord_flat, -2.0 * xp.moveaxis(Sx[..., 0, 1:], 2, 1)
+        xp, coef_Xt, sb.coord_flat,
+        -2.0 * inv_x3 * xp.moveaxis(Sx[..., 0, 1:], 2, 1),
     )
     # RSOC X coefficients (the row's X slot is sum_t Xt -> every term)
     coef_Xt = _scat_bk(
         xp, coef_Xt, sb.soc_flat,
-        xp.broadcast_to((-c_r)[:, None, :], (B, k, c_r.shape[1])),
+        xp.broadcast_to((-inv_x2 * c_r)[:, None, :], (B, k, c_r.shape[1])),
     )
 
     # W coefficients (B, n*m)
@@ -1018,8 +1061,8 @@ def safe_dual_bound_shor_k(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya,
     ).reshape(B, -1)
     if xp is np:
         coef_W = np.ascontiguousarray(coef_W)
-    coef_W = _scat_b(xp, coef_W, sb.soc_flat, -b_r)
-    coef_W = _scat_b(xp, coef_W, sb.coord_flat, ywl)
+    coef_W = _scat_b(xp, coef_W, sb.soc_flat, -inv_w2 * b_r)
+    coef_W = _scat_b(xp, coef_W, sb.coord_flat, inv_w2 * ywl)
 
     # Wt coefficients (B, k, C)
     C = cdm.shape[1]
@@ -1030,11 +1073,11 @@ def safe_dual_bound_shor_k(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya,
     for corner in range(4):
         coef_Wt = _scat_bk(
             xp, coef_Wt, sb.mc[..., corner],
-            -S5k[..., corner + 1, corner + 1],
+            -inv_w3 * S5k[..., corner + 1, corner + 1],
         )
     tt = np.arange(k)
-    coef_Wt = coef_Wt - xp.moveaxis(Sx[..., tt + 1, tt + 1], 2, 1)
-    coef_Wt = coef_Wt - ywl[:, None, :]
+    coef_Wt = coef_Wt - inv_w3 * xp.moveaxis(Sx[..., tt + 1, tt + 1], 2, 1)
+    coef_Wt = coef_Wt - (inv_w2 * ywl)[:, None, :]
 
     # H coefficients (B, kp, C)
     coef_H = zz((B, kp, C))
@@ -1042,21 +1085,22 @@ def safe_dual_bound_shor_k(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya,
         t1s, t2s = _pair_indices(k)
         t1a = np.asarray(t1s)
         t2a = np.asarray(t2s)
-        coef_H = coef_H - xp.moveaxis(
+        coef_H = coef_H - inv_w3 * xp.moveaxis(
             Sx[..., t1a + 1, t2a + 1] + Sx[..., t2a + 1, t1a + 1], 2, 1
         )
-        coef_H = coef_H - 2.0 * ywl[:, None, :]
+        coef_H = coef_H - 2.0 * (inv_w2 * ywl)[:, None, :]
 
     # shared V coefficients (B, k, P*)
     coef_v1 = zz((B, k, sb.cnt_v1.shape[1]))
     coef_v2 = zz((B, k, sb.cnt_v2.shape[1]))
     coef_v3 = zz((B, k, sb.cnt_v3.shape[1]))
-    coef_v1 = _scat_bk(xp, coef_v1, sb.iv1a, -2.0 * S5k[..., 1, 2])
-    coef_v1 = _scat_bk(xp, coef_v1, sb.iv1b, -2.0 * S5k[..., 3, 4])
-    coef_v2 = _scat_bk(xp, coef_v2, sb.iv2a, -2.0 * S5k[..., 1, 3])
-    coef_v2 = _scat_bk(xp, coef_v2, sb.iv2b, -2.0 * S5k[..., 2, 4])
+    coef_v1 = _scat_bk(xp, coef_v1, sb.iv1a, -2.0 * inv_w3 * S5k[..., 1, 2])
+    coef_v1 = _scat_bk(xp, coef_v1, sb.iv1b, -2.0 * inv_w3 * S5k[..., 3, 4])
+    coef_v2 = _scat_bk(xp, coef_v2, sb.iv2a, -2.0 * inv_w3 * S5k[..., 1, 3])
+    coef_v2 = _scat_bk(xp, coef_v2, sb.iv2b, -2.0 * inv_w3 * S5k[..., 2, 4])
     coef_v3 = _scat_bk(
-        xp, coef_v3, sb.iv3, -2.0 * (S5k[..., 1, 4] + S5k[..., 2, 3])
+        xp, coef_v3, sb.iv3,
+        -2.0 * inv_w3 * (S5k[..., 1, 4] + S5k[..., 2, 3]),
     )
 
     x_term = -R_X * xp.sum(xp.abs(coef_Xt), axis=(-2, -1))
@@ -1071,9 +1115,9 @@ def safe_dual_bound_shor_k(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya,
 
     const = (
         0.5 * xp.sum(mask * A * A)
-        - xp.sum(S5[..., 0, 0], axis=(-2, -1))
-        - xp.sum(Sx[..., 0, 0], axis=-1)
-        - 0.5 * xp.sum(a_r, axis=-1)
+        - sS1 * xp.sum(S5[..., 0, 0], axis=(-2, -1))
+        - sS1 * xp.sum(Sx[..., 0, 0], axis=-1)
+        - 0.5 * sS1 * xp.sum(a_r, axis=-1)
         - xp.trace(E, axis1=-2, axis2=-1)
         + cut_const
     )
@@ -1093,7 +1137,8 @@ def safe_dual_bound_shor_k(xp, A, mask, batch: NodeBatch, sb, y1, y2, ya,
 
 
 def safe_dual_bound_shor_k2(xp, A, mask, batch, sb, y1, y2, ya, yb, yc, y5,
-                            yx, yr, yl, ywl, gamma, k, ub_bar):
+                            yx, yr, yl, ywl, gamma, k, ub_bar, sX=1.0,
+                            sS=1.0):
     """``(lb_valid, lb_est)``: the margined safe bound plus the unmargined
     value as a float64-tracking exit estimator (same contract as
     ``omc.sdp.admm_shor.safe_dual_bound_shor2`` — the driver re-certifies
@@ -1101,7 +1146,7 @@ def safe_dual_bound_shor_k2(xp, A, mask, batch, sb, y1, y2, ya, yb, yc, y5,
     never soundness)."""
     lb = safe_dual_bound_shor_k(
         xp, A, mask, batch, sb, y1, y2, ya, yb, yc, y5, yx, yr, yl, ywl,
-        gamma, k, ub_bar, margin_rel=0.0,
+        gamma, k, ub_bar, margin_rel=0.0, sX=sX, sS=sS,
     )
     margin_rel = margin_rel_default(xp, A.dtype)
     # conservative proxy scale from the raw duals (||proj(-y)||_F <=
@@ -1142,5 +1187,6 @@ def host_certified_bound_shor_k(A, mask, batch: NodeBatch,
         np, f(A), f(mask), hb, sbf, f(out["y1"]), f(out["y2"]), f(out["ya"]),
         f(out["yb"]), f(out["yc"]), f(out["y5"]), f(out["yx"]), f(out["yr"]),
         f(out["yl"]), f(out["ywl"]), float(gamma), k, float(ub_bar),
-        margin_rel=margin_rel,
+        margin_rel=margin_rel, sX=f(out.get("sX", 1.0)),
+        sS=f(out.get("sS", 1.0)),
     )

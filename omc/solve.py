@@ -232,6 +232,12 @@ def _polish_incumbent(X0, A, mask, gamma, k, iters=25):
     the final refinement runs in float64 — it is O(iters * (n m k + n k^2))
     on a single candidate, negligible next to a device super-step."""
     X = np.asarray(X0, dtype=np.float64)
+    if not np.all(np.isfinite(X)):
+        # a diverged f32 relaxation iterate must not crash the driver —
+        # report an unusable candidate and let the caller move on
+        return np.inf, np.zeros_like(np.asarray(A)), np.zeros(
+            (np.asarray(A).shape[0], k)
+        )
     U = np.linalg.svd(X, full_matrices=False)[0][:, :k]
     eye_k = 1e-12 * np.eye(k)
     best_obj, best_X, best_U = np.inf, X, U
@@ -255,6 +261,10 @@ def _round_to_incumbent(Y, A, mask, gamma, k):
     """Orthonormal U from top-k eigenvectors of Y + exact closed-form V-step
     -> (objective, X, U) with objective a *valid* rank-k upper bound."""
     Y = np.asarray(Y, dtype=np.float64)
+    if not np.all(np.isfinite(Y)):
+        return np.inf, np.zeros_like(np.asarray(A)), np.zeros(
+            (Y.shape[0], k)
+        )
     w, V = np.linalg.eigh(0.5 * (Y + Y.T))
     U = V[:, ::-1][:, :k]  # top-k eigvecs
     G = np.einsum("nk,nm,nl->mkl", U, mask, U) + (1.0 / gamma) * (U.T @ U)[None]
@@ -642,6 +652,55 @@ def matrix_completion_branchandbound(
                 _jax.profiler.stop_trace()
                 profiling["on"] = False
 
+    def _apply_best_duals(state, out_dev):
+        """Overwrite the solver state's scaled duals with the visit's
+        BEST-CHUNK duals (u = y / rho) before the state becomes a warm
+        start.  The final ADMM iterate oscillates with a multi-thousand-
+        iteration period (see the solvers' EMA note); children and
+        refinement re-visits that start from the trajectory's best point
+        instead of its last point re-pay fewer catch-up iterations
+        (round-4 verdict item 4).  Any (w, u) pair is a valid ADMM state,
+        so this is a pure warm-start heuristic — bounds stay sound."""
+        import jax as _jax
+
+        def fn(st, o):
+            if use_shor_k:
+                c = st.core
+                r3 = c.rho[:, None, None]
+                core = c._replace(
+                    u1=o["y1"] / r3, u2=o["y2"] / r3, ua=o["ya"] / r3,
+                    ub=o["yb"] / r3, uc=o["yc"] / c.rho[:, None],
+                )
+                return st._replace(
+                    core=core,
+                    u5=o["y5"] / c.rho[:, None, None, None, None],
+                    ux=o["yx"] / c.rho[:, None, None, None],
+                    ur=o["yr"] / r3, ul=o["yl"] / c.rho[:, None],
+                    uwl=o["ywl"] / c.rho[:, None],
+                )
+            if use_shor:
+                c = st.core
+                r3 = c.rho[:, None, None]
+                core = c._replace(
+                    u1=o["y1"] / r3, u2=o["y2"] / r3, ua=o["ya"] / r3,
+                    ub=o["yb"] / r3, uc=o["yc"] / c.rho[:, None],
+                )
+                return st._replace(
+                    core=core,
+                    u5=o["y5"] / c.rho[:, None, None, None],
+                    ur=o["yr"] / r3, ul=o["yl"] / c.rho[:, None],
+                )
+            r3 = st.rho[:, None, None]
+            return st._replace(
+                u1=o["y1"] / r3, u2=o["y2"] / r3, ua=o["ya"] / r3,
+                ub=o["yb"] / r3, uc=o["yc"] / st.rho[:, None],
+            )
+
+        key = ("best_duals", use_shor, use_shor_k)
+        if key not in solvers:
+            solvers[key] = _jax.jit(fn)
+        return solvers[key](state, out_dev)
+
     # jitted program caches, keyed by the cut-capacity bucket
     solvers: Dict[int, object] = {}
     iter_rate: Dict[str, float] = {}  # measured seconds per solver iteration
@@ -738,6 +797,7 @@ def matrix_completion_branchandbound(
     # instance-specific and the cold start unpayable).
     sX = max(1.0, float(np.max(np.abs(A))))
     sT = max(1.0, 2.0 * gamma * objective_initial / (4.0 * m))
+    sS = sX ** cfg.shor_slot_pow  # Shor-row weight (runtime, see config)
 
     def get_mc_solver():
         if "mc" not in solvers:
@@ -797,7 +857,7 @@ def matrix_completion_branchandbound(
         while len(state_cache) > state_cache_max:
             state_cache.popitem(last=False)
 
-    def _template(Bb, L, M5, X0, Y0, Th0, U0, sX_, sT_):
+    def _template(Bb, L, M5, X0, Y0, Th0, U0, sX_, sT_, sS_):
         """Fallback state: the incumbent primal (feasible for every node's
         core cones), zero duals.  Called under jit (one device dispatch —
         the ~20 eager zeros/broadcasts would each be a remote round trip
@@ -812,17 +872,17 @@ def matrix_completion_branchandbound(
         if use_shor_k:
             return init_shor_k_state(
                 Bb, n, m, k, L, M5, n * m, dtype=dtype, sX=sX_, sT=sT_,
-                rho=rho_base, **kw
+                sS=sS_, rho=rho_base, **kw
             )
         if use_shor:
             return init_shor_state(
                 Bb, n, m, k, L, M5, n * m, dtype=dtype, sX=sX_, sT=sT_,
-                rho=rho_base, **kw
+                sS=sS_, rho=rho_base, **kw
             )
         if cfg.sdp_method == "admm":
             return init_admm_state(
-                Bb, n, m, k, L, dtype=dtype, sX=sX_, sT=sT_, rho=rho_base,
-                **kw
+                Bb, n, m, k, L, dtype=dtype, sX=sX_, sT=sT_, sS=sS_,
+                rho=rho_base, **kw
             )
         return init_state(Bb, n, m, k, L, dtype=dtype, sX=sX, sT=sT, **kw)
 
@@ -837,10 +897,10 @@ def matrix_completion_branchandbound(
         M5b = _m5_bucket(max(1, Mmax)) if use_shor else None
         sds = lambda *s: _jax.ShapeDtypeStruct(s, dtype)
         st = _jax.eval_shape(
-            lambda X0, Y0, Th0, U0, s1, s2: _template(
-                1, Lb, M5b, X0, Y0, Th0, U0, s1, s2
+            lambda X0, Y0, Th0, U0, s1, s2, s3: _template(
+                1, Lb, M5b, X0, Y0, Th0, U0, s1, s2, s3
             ),
-            sds(n, m), sds(n, n), sds(m, m), sds(n, k), sds(), sds(),
+            sds(n, m), sds(n, n), sds(m, m), sds(n, k), sds(), sds(), sds(),
         )
         return [tuple(leaf.shape[1:]) for leaf in _jax.tree.leaves(st)]
 
@@ -863,8 +923,8 @@ def matrix_completion_branchandbound(
                     use_mccormick, use_shor, use_shor_k, cfg.sdp_method,
                     rho_base, cfg.sdp_rho_mccormick)
             solvers[jit_key] = _memo_program(gkey, lambda: _jax.jit(
-                lambda X0, Y0, Th0, U0, s1, s2: _template(
-                    Bb, L, M5, X0, Y0, Th0, U0, s1, s2
+                lambda X0, Y0, Th0, U0, s1, s2, s3: _template(
+                    Bb, L, M5, X0, Y0, Th0, U0, s1, s2, s3
                 )
             ))
         U0 = solution["U"]
@@ -874,6 +934,7 @@ def matrix_completion_branchandbound(
             jnp.asarray(X0, dtype), jnp.asarray(U0 @ U0.T, dtype),
             jnp.asarray(V0.T @ V0, dtype), jnp.asarray(U0, dtype),
             jnp.asarray(sX, dtype), jnp.asarray(sT, dtype),
+            jnp.asarray(sS, dtype),
         )
         leaves, treedef = _jax.tree.flatten(dev)
         # host leaves are only needed for warm-slice assembly — fetch
@@ -1159,14 +1220,16 @@ def matrix_completion_branchandbound(
             batch_dev = _put(batch)
             target_dev = _put(jnp.asarray(target_np))
             group_dev = _put(jnp.arange(Bb, dtype=jnp.int32))
-            fin_state, out, iters_done = _chunked_call(
+            fin_state, out_dev, iters_done = _chunked_call(
                 lambda st, it: get_shor_solver(L, M5)(
                     A_dev, mask_dev, batch_dev, sb_dev, ub_bar, st, it,
                     target_dev, group_dev,
                 ),
                 state0, visit_iters, ("shor", Bb, L, M5),
             )
-            out = get_all(out)  # one synchronised fetch, not per-leaf
+            if cfg.sdp_best_dual_warm:
+                fin_state = _apply_best_duals(fin_state, out_dev)
+            out = get_all(out_dev)  # one synchronised fetch, not per-leaf
             t_dev_end = time.time()
             if use_shor_k:
                 lbs = host_certified_bound_shor_k(
@@ -1202,13 +1265,16 @@ def matrix_completion_branchandbound(
                     group_np = np.arange(Bb, dtype=np.int32) % nw
                 target_dev = _put(jnp.asarray(target_np))
                 group_dev = _put(jnp.asarray(group_np))
-                fin_state, out, iters_done = _chunked_call(
+                fin_state, out_dev, iters_done = _chunked_call(
                     lambda st, it: get_solver(L)(
                         A_dev, mask_dev, batch_dev, ub_bar, st, it,
                         target_dev, group_dev,
                     ),
                     state0, visit_iters, ("dc", Bb, L),
                 )
+                if cfg.sdp_best_dual_warm:
+                    fin_state = _apply_best_duals(fin_state, out_dev)
+                out = out_dev
             else:
                 # PDHG (labelled reference implementation): runtime budget
                 # + duration capping, but no on-device early exit (its
@@ -1507,6 +1573,8 @@ def matrix_completion_branchandbound(
             U_init_m = np.zeros((len(altmin_marked), n, k), dtype=np.float64)
             for j, i in enumerate(altmin_marked):
                 Yi = out["Y"][sel_of[i]].astype(np.float64)
+                if not np.all(np.isfinite(Yi)):
+                    continue  # diverged iterate: fall back to zero init
                 w, V = np.linalg.eigh(0.5 * (Yi + Yi.T))
                 U_init_m[j] = V[:, ::-1][:, :k]
             if use_mccormick:
@@ -1828,6 +1896,9 @@ def matrix_completion_branchandbound(
         run_details["process_count"] = dist.process_count
         run_details["process_index"] = dist.process_index
         run_details["census_global"] = census_global
+        # wall-clock spent inside cross-host collectives (sync/compute
+        # breakdown for the scaling benchmark)
+        run_details["dist_sync_seconds"] = dist.sync_seconds
 
     instance = {"run_log": run_log, "run_details": run_details}
 

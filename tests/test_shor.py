@@ -130,3 +130,34 @@ def test_shor_solver_weak_duality_and_tightening(shor_setup):
         A, mask, s["batch"], out_p, gamma, 1, ub_bar
     )[0])
     assert lb_shor >= lb_plain - 0.02 * max(1.0, abs(lb_plain))
+
+
+def test_shor_bound_scale_invariance(shor_setup):
+    """The 5x5 minor slots are diagonally rescaled by the runtime sX (see
+    omc.sdp.admm_shor._forward_shor): solving the SAME problem with
+    sX = 1 and sX = 2.5 must give (near-)identical certified f64 bounds —
+    catches any missed 1/sX / 1/sX^2 factor in the solver or the
+    certification scatter coefficients."""
+    s = shor_setup
+    n, m, gamma = s["n"], s["m"], s["gamma"]
+    A, mask = s["A"], s["mask"]
+    ub_bar = 0.5 * float(np.sum(mask * A * A))
+    solver = make_shor_solver(
+        n, m, s["L"], s["M5"], s["Ms"], gamma, iters=40000,
+        dtype=jnp.float64, psd_method="eigh", ema_iters=4000,
+    )
+    sb_dev = shor_batch_to_device(s["sbh"], jnp.float64)
+    lbs = {}
+    for sX in (1.0, 2.5):
+        st0 = init_shor_state(1, n, m, 1, s["L"], s["M5"], s["Ms"],
+                              jnp.float64, rho=0.05, sX=sX, sT=1.0)
+        _, out = solver(jnp.asarray(A), jnp.asarray(mask), s["batch"],
+                        sb_dev, ub_bar, st0)
+        out_np = {kk: np.asarray(v) for kk, v in out.items()}
+        lbs[sX] = float(host_certified_bound_shor(
+            A, mask, s["batch"], s["sbh"], out_np, gamma, ub_bar
+        )[0])
+    assert np.isfinite(lbs[1.0]) and np.isfinite(lbs[2.5])
+    # different ADMM trajectories -> not bit-equal, but both must land at
+    # the same relaxation optimum
+    assert abs(lbs[1.0] - lbs[2.5]) <= 2e-3 * max(1.0, abs(lbs[1.0])), lbs

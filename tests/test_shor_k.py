@@ -266,3 +266,45 @@ def test_bnb_k2_shor_e2e():
     assert np.linalg.matrix_rank(sol["X"], tol=1e-6) <= 2
     lowers = [r["lower"] for r in inst["run_log"] if np.isfinite(r["lower"])]
     assert all(b >= a - 1e-9 for a, b in zip(lowers, lowers[1:]))
+
+
+@pytest.mark.slow
+def test_shor_k_bound_scale_invariance():
+    """The k > 1 Shor slots are diagonally rescaled by the runtime sX (see
+    omc.sdp.shor_k._forward_shor_k): solving the SAME problem at sX = 1
+    and sX = 2.5 must converge to (near-)identical certified f64 bounds —
+    catches any missed 1/sX / 1/sX^2 factor in solver or certification."""
+    A, idx = _small_instance(k=2, n=6, m=6, seed=3)
+    n, m = A.shape
+    k, gamma = 2, 20.0
+    minors = _some_minors(idx, cap=3)
+    soc = shor_soc_complement(n, m, minors)
+    M5 = 4
+    sbh = pack_shor_k_batch(n, m, [minors], [soc], M5=M5, Msoc=n * m)
+    sb = shor_k_batch_to_device(sbh, jnp.float64)
+    B, L = 1, 1
+    lo, hi = root_box(n, k)
+    f64 = jnp.float64
+    batch = NodeBatch(
+        cut_x=jnp.zeros((B, L, n), f64), cut_lo=jnp.zeros((B, L, k), f64),
+        cut_hi=jnp.zeros((B, L, k), f64), cut_mask=jnp.zeros((B, L), f64),
+        U_lo=jnp.asarray(lo, f64)[None], U_hi=jnp.asarray(hi, f64)[None],
+    )
+    mask = idx.astype(np.float64)
+    ub_bar = 0.5 * float(np.sum(mask * A * A))
+    solver = make_shor_k_solver(
+        n, m, k, L, M5, n * m, gamma, iters=40000, dtype=f64,
+        psd_method="eigh", ema_iters=4000,
+    )
+    lbs = {}
+    for sX in (1.0, 2.5):
+        st0 = init_shor_k_state(B, n, m, k, L, M5, n * m, dtype=f64,
+                                sX=sX, sT=1.0, rho=0.05)
+        _, out = solver(jnp.asarray(A, f64), jnp.asarray(mask, f64), batch,
+                        sb, ub_bar, st0)
+        out_np = {kk: np.asarray(v) for kk, v in out.items()}
+        lbs[sX] = float(host_certified_bound_shor_k(
+            A, mask, batch, sbh, out_np, gamma, k, ub_bar
+        )[0])
+    assert np.isfinite(lbs[1.0]) and np.isfinite(lbs[2.5])
+    assert abs(lbs[1.0] - lbs[2.5]) <= 5e-3 * max(1.0, abs(lbs[1.0])), lbs
