@@ -175,3 +175,47 @@ def test_warm_state_roundtrip_and_padding():
     assert np.allclose(np.asarray(asm.wa[0][:4]), 2.5)
     assert np.allclose(np.asarray(asm.wa[0][4:]), 0.0)
     assert np.allclose(np.asarray(asm.Y[1]), 0.0)
+
+
+def test_f32_bound_tracks_f64_with_structural_offsupport_zero():
+    """The margin-guarded float32 safe bound must track the float64 host
+    bound closely: the off-support q channel is structurally zero (delta-
+    shift restructure, round-4 verdict item 3), so casting the SAME duals
+    to float32 may no longer cost O(R_X * #unobserved * eps) bound value."""
+    from omc.sdp.relax import safe_dual_bound2
+
+    n = m = 24
+    k, gamma = 1, 40.0
+    A, idx = generate_matrix_completion_data(k, n, m, int(0.3 * n * m), seed=2)
+    mask = idx.astype(np.float64)
+    ub_bar = 0.5 * float(np.sum(mask * A * A))
+    L = 4
+    batch = NodeBatch(
+        cut_x=jnp.zeros((1, L, n)), cut_lo=jnp.zeros((1, L, k)),
+        cut_hi=jnp.zeros((1, L, k)), cut_mask=jnp.zeros((1, L)),
+        U_lo=jnp.asarray(root_box(n, k)[0][None]),
+        U_hi=jnp.asarray(root_box(n, k)[1][None]),
+    )
+    solver = make_admm_solver(n, m, k, L, gamma, iters=4000,
+                              dtype=jnp.float64, rho=0.03)
+    st = init_admm_state(1, n, m, k, L, jnp.float64,
+                         sX=max(1.0, float(np.abs(A).max())), rho=0.03)
+    _, out = solver(jnp.asarray(A), jnp.asarray(mask), batch, ub_bar, st)
+    out = {kk: np.asarray(v) for kk, v in out.items()}
+
+    lb64 = float(host_certified_bound(A, mask, batch, out, gamma, k, ub_bar)[0])
+
+    f32 = lambda a: np.asarray(a, np.float32)
+    b32 = NodeBatch(*[f32(x) for x in batch])
+    lb32, est32 = safe_dual_bound2(
+        np, f32(A), f32(mask), b32, f32(out["y1"]), f32(out["y2"]),
+        f32(out["ya"]), f32(out["yb"]), f32(out["yc"]),
+        np.float32(gamma), k, np.float32(ub_bar),
+    )
+    lb32 = float(lb32[0])
+    # soundness ordering preserved under f32 (margin covers rounding)
+    assert lb32 <= lb64 + 1e-4 * max(1.0, abs(lb64))
+    # tracking: the old off-support channel cost O(1) bound value here
+    # (R_X ~ 50 with hundreds of unobserved entries); the restructured
+    # bound stays within a few percent of float64
+    assert lb64 - lb32 <= 0.05 * max(1.0, abs(lb64)), (lb32, lb64)
