@@ -66,10 +66,12 @@ def main():
 
     # Warmup run: identical instance + config => identical tree trajectory
     # (deterministic seeded solver) => compiles exactly the programs the
-    # timed run executes (block scales sX/sT are trace constants, so the
-    # programs are instance-specific).  The timed value below is therefore
-    # a WARM measurement — production time-to-gap with programs compiled —
-    # and `warmup_s` reports the compile+first-solve cost transparently.
+    # timed run executes.  Block scales sX/sT are runtime state fields, so
+    # one compiled program per (n, m, k, L-bucket, B-bucket) serves every
+    # instance — the warmup (and the persistent cache) also covers other
+    # instances of the same shape, e.g. the multi-node instance below.
+    # The timed value is a WARM measurement — production time-to-gap with
+    # programs compiled — and `warmup_s` reports compile+first-solve cost.
     t0 = time.time()
     if not os.environ.get("OMC_BENCH_NO_WARMUP"):
         matrix_completion_branchandbound(k, A, idx, gamma, **kwargs)

@@ -101,11 +101,15 @@ class SolverConfig:
     # multiplier is implicitly 1.0.
     rho_portfolio: Tuple[float, ...] = (0.25, 4.0, 0.0625)
     sdp_warm_start: bool = True  # warm-start children from parent duals
-    # carry the visit's BEST-CHUNK duals (by the float64-tracking
-    # estimator) in the warm-start state instead of the final ADMM
+    # hand CHILD nodes a warm start carrying the parent visit's BEST-CHUNK
+    # duals (by the float64-tracking estimator) instead of the final ADMM
     # iterate: the final iterate oscillates with a multi-thousand-
-    # iteration period, so children / refinement re-visits starting from
-    # the trajectory's best point re-pay fewer catch-up iterations
+    # iteration period, so a child starting its fresh EMA from the
+    # trajectory's best point re-pays fewer catch-up iterations.  Applies
+    # to parent->child inheritance ONLY — a node's own refinement
+    # re-visits always continue from the exact device-resident iterate
+    # (overwriting those duals stalls the contraction; measured 9 -> 418
+    # explored nodes on the 50x50 30%-observed headline instance)
     sdp_best_dual_warm: bool = True
     # when the frontier underfills the batch, raise the per-visit iteration
     # budget by up to this factor (padded slots cost the same device time

@@ -654,13 +654,23 @@ def matrix_completion_branchandbound(
 
     def _apply_best_duals(state, out_dev):
         """Overwrite the solver state's scaled duals with the visit's
-        BEST-CHUNK duals (u = y / rho) before the state becomes a warm
-        start.  The final ADMM iterate oscillates with a multi-thousand-
-        iteration period (see the solvers' EMA note); children and
-        refinement re-visits that start from the trajectory's best point
-        instead of its last point re-pay fewer catch-up iterations
+        BEST-CHUNK duals (u = y / rho), producing the warm start handed to
+        CHILD nodes.  The final ADMM iterate oscillates with a multi-
+        thousand-iteration period (see the solvers' EMA note); a child
+        that starts its fresh EMA accumulation from the trajectory's best
+        point instead of its last point re-pays fewer catch-up iterations
         (round-4 verdict item 4).  Any (w, u) pair is a valid ADMM state,
-        so this is a pure warm-start heuristic — bounds stay sound."""
+        so this is a pure warm-start heuristic — bounds stay sound.
+
+        CRITICAL: this must NOT touch the state used for a node's own
+        refinement re-visits.  Re-visits continue the contraction from
+        the exact device-resident iterate; resetting their duals to the
+        EMA midpoint every visit stalls convergence (measured on the
+        rank-1 50x50 30%-observed instance: the root stops closing, the
+        tree explodes 9 -> 418 nodes and the 16 s run becomes a 600 s
+        timeout).  The driver therefore records BOTH states and routes
+        the best-dual variant exclusively to parent->child inheritance
+        (see warm_state)."""
         import jax as _jax
 
         def fn(st, o):
@@ -958,18 +968,30 @@ def matrix_completion_branchandbound(
     # state is ~25 MB each way).  Otherwise the state is flushed to the
     # host slice cache lazily, only when some popped node (or its parent)
     # actually warm-starts from it.
-    last_solve = {"key": None, "state": None, "slots": {}, "host": None}
+    last_solve = {
+        "key": None, "state": None, "slots": {}, "host": None,
+        "state_bd": None, "host_bd": None,
+    }
 
     def _flush_last_solve(skip_ids=()):
         """Move the previous solve's per-node states into the host slice
-        cache (one device->host transfer per state leaf, not per node)."""
+        cache (one device->host transfer per state leaf, not per node).
+        The raw final state is cached under the node id (refinement
+        continuation); the best-dual variant, when present, under
+        ("bd", node_id) for children to inherit (see _apply_best_duals)."""
         if last_solve["state"] is None:
             return
         if last_solve["host"] is None:
             last_solve["host"] = state_to_host(last_solve["state"])
+        if last_solve["state_bd"] is not None and last_solve["host_bd"] is None:
+            last_solve["host_bd"] = state_to_host(last_solve["state_bd"])
         for nid, i in last_solve["slots"].items():
             if nid not in skip_ids:
                 _cache_put(nid, host_state_slice(last_solve["host"], i))
+                if last_solve["host_bd"] is not None:
+                    _cache_put(
+                        ("bd", nid), host_state_slice(last_solve["host_bd"], i)
+                    )
         last_solve["slots"] = {}
 
     def warm_state(nodes: List[BBNode], Bb, L, M5=None):
@@ -984,10 +1006,15 @@ def matrix_completion_branchandbound(
             nd.node_id in slots or nd.parent_id in slots for nd in nodes
         ):
             _flush_last_solve()
-        # own state (refinement visits) takes precedence over the parent's
+        # own state (refinement visits) takes precedence over the parent's;
+        # a CHILD inherits the parent's best-dual variant when available
+        # (refinement re-visits must continue from the raw iterate — see
+        # _apply_best_duals)
         if cfg.sdp_warm_start:
             slices = [
-                state_cache.get(nd.node_id) or state_cache.get(nd.parent_id)
+                state_cache.get(nd.node_id)
+                or state_cache.get(("bd", nd.parent_id))
+                or state_cache.get(nd.parent_id)
                 for nd in nodes
             ]
         else:
@@ -1003,10 +1030,12 @@ def matrix_completion_branchandbound(
         return _jax.tree.unflatten(treedef, put_packed(base, dtype)), True
 
     def record_solve(slot_nodes: List[BBNode], fin_state, Bb, L, M5=None,
-                     best_slot=None):
+                     best_slot=None, state_bd=None):
         """Supersede the previous device state with this step's result.
         ``best_slot`` (node_id -> slot index) overrides the default
-        one-slot-per-node layout when the rho portfolio replicated nodes."""
+        one-slot-per-node layout when the rho portfolio replicated nodes.
+        ``state_bd`` is the best-dual variant destined for child warm
+        starts (kept device-resident, flushed lazily like the raw state)."""
         _flush_last_solve(skip_ids={nd.node_id for nd in slot_nodes})
         last_solve["key"] = (tuple(nd.node_id for nd in slot_nodes), Bb, L, M5)
         last_solve["state"] = fin_state
@@ -1015,6 +1044,8 @@ def matrix_completion_branchandbound(
             else {nd.node_id: i for i, nd in enumerate(slot_nodes)}
         )
         last_solve["host"] = None
+        last_solve["state_bd"] = state_bd
+        last_solve["host_bd"] = None
 
     _M5_BUCKETS = (64, 256, 1024, 4096)
 
@@ -1184,6 +1215,7 @@ def matrix_completion_branchandbound(
 
         t0 = time.time()
         M5 = None
+        state_bd = None  # child warm-start variant (ADMM/Shor paths only)
         if use_mccormick:
             mc_batch = _put(MCBatch(U_lo=batch.U_lo, U_hi=batch.U_hi))
             state0 = _put(warm_state(work, Bb, L)[0])
@@ -1227,8 +1259,10 @@ def matrix_completion_branchandbound(
                 ),
                 state0, visit_iters, ("shor", Bb, L, M5),
             )
-            if cfg.sdp_best_dual_warm:
-                fin_state = _apply_best_duals(fin_state, out_dev)
+            state_bd = (
+                _apply_best_duals(fin_state, out_dev)
+                if cfg.sdp_best_dual_warm else None
+            )
             out = get_all(out_dev)  # one synchronised fetch, not per-leaf
             t_dev_end = time.time()
             if use_shor_k:
@@ -1272,8 +1306,10 @@ def matrix_completion_branchandbound(
                     ),
                     state0, visit_iters, ("dc", Bb, L),
                 )
-                if cfg.sdp_best_dual_warm:
-                    fin_state = _apply_best_duals(fin_state, out_dev)
+                state_bd = (
+                    _apply_best_duals(fin_state, out_dev)
+                    if cfg.sdp_best_dual_warm else None
+                )
                 out = out_dev
             else:
                 # PDHG (labelled reference implementation): runtime budget
@@ -1336,7 +1372,10 @@ def matrix_completion_branchandbound(
                 sel_of[i] = j
                 best_slot[work[i].node_id] = j
             lbs = lbs_nodes
-        record_solve(slot_nodes, fin_state, Bb, L, M5, best_slot=best_slot)
+        record_solve(
+            slot_nodes, fin_state, Bb, L, M5, best_slot=best_slot,
+            state_bd=state_bd,
+        )
         t_relax = time.time() - t0
         solve_time_relaxation += t_relax
         solve_time_device += t_dev_end - t0
