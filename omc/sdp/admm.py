@@ -525,10 +525,17 @@ def make_admm_solver(n: int, m: int, k: int, L: int, gamma: float, *,
             corr = 1.0 - (1.0 - beta) ** (it + chunk).astype(dtype)
             inv = 1.0 / jnp.maximum(corr, beta)
             ybar = tuple(inv * a for a in ema)
-            lb, lb_est = safe_dual_bound2(
-                jnp, A, mask, batch, ybar[0], ybar[1], ybar[2], ybar[3],
-                ybar[4], gamma, k, ub_bar,
-            )
+            # full-f32 matmuls for the bound evaluation only: TPU default
+            # (bf16 passes) costs ~84 absolute on a 250x250 frontier bound
+            # of ~400 — measured against a host recompute from the SAME
+            # duals, where honest f32 agrees with f64 to ~1.5.  The check
+            # runs once per chunk (every check_every iterations), so the
+            # 3x matmul cost here is invisible next to the ADMM body.
+            with jax.default_matmul_precision("float32"):
+                lb, lb_est = safe_dual_bound2(
+                    jnp, A, mask, batch, ybar[0], ybar[1], ybar[2], ybar[3],
+                    ybar[4], gamma, k, ub_bar,
+                )
             # per-slot best-chunk tracking by the estimator (early-exit
             # decisions use the ESTIMATOR: it tracks the host float64
             # bound to ~1e-2 where the margined float32 bound sits ~1e-1

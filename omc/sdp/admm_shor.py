@@ -499,11 +499,14 @@ def make_shor_solver(n: int, m: int, L: int, M5: int, Ms: int, gamma: float,
             corr = 1.0 - (1.0 - beta) ** (it + chunk).astype(dtype)
             inv = 1.0 / jnp.maximum(corr, beta)
             ybar = tuple(inv * a for a in ema)
-            lb, lb_est = safe_dual_bound_shor2(
-                jnp, A, mask, batch, sb, ybar[0], ybar[1], ybar[2], ybar[3],
-                ybar[4], ybar[5], ybar[6], ybar[7], gamma, ub_bar,
-                sX=state.core.sX, sS=state.core.sS,
-            )
+            # full-f32 matmuls for the bound evaluation only (TPU default
+            # bf16 passes degrade the bound; see omc.sdp.admm note)
+            with jax.default_matmul_precision("float32"):
+                lb, lb_est = safe_dual_bound_shor2(
+                    jnp, A, mask, batch, sb, ybar[0], ybar[1], ybar[2],
+                    ybar[3], ybar[4], ybar[5], ybar[6], ybar[7], gamma,
+                    ub_bar, sX=state.core.sX, sS=state.core.sS,
+                )
             b_ybar, b_lb, b_est = best
             take = lb_est > b_est
             t2 = take[:, None]
