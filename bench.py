@@ -192,7 +192,11 @@ def main():
 
             trace_dir = "/tmp/omc_mfu_trace"
             shutil.rmtree(trace_dir, ignore_errors=True)
-            L, Bp, prof_iters = 8, 1, 3000
+            # profile at the production FRONTIER shape (batch_size slots),
+            # not a single-row solve: B=1 at 50x50 is launch-latency bound
+            # (measured 3.8% MFU) and says nothing about the utilisation
+            # the batched super-steps actually achieve
+            L, Bp, prof_iters = 8, int(kwargs["batch_size"]), 1000
             dt = jnp.float32 if on_tpu else jnp.float64
             lo, hi = root_box(n, k)
             pb = NodeBatch(
@@ -220,6 +224,10 @@ def main():
             _ = np.asarray(_out["lb_dev"])  # forces completion on axon
             jax.profiler.stop_trace()
             mfu = measured_mfu(trace_dir, n, n, k, Bp, prof_iters)
+            if isinstance(mfu, dict):
+                mfu["profiled_shape"] = (
+                    f"B={Bp} n={n} m={n} k={k} iters={prof_iters}"
+                )
         except Exception as exc:  # profiler support varies per backend
             mfu = {"error": str(exc)[:200]}
 

@@ -34,16 +34,33 @@ def main():
     from omc.data import generate_matrix_completion_data
     from omc.solve import matrix_completion_branchandbound
 
-    A, idx = generate_matrix_completion_data(1, 14, 14, 100, seed=7)
-    t0 = time.time()
-    sol, _, inst = matrix_completion_branchandbound(
-        1, A, idx, 160.0,
+    # instance probed to BRANCH hard (736 nodes explored in 90 s on one
+    # pinned core at these settings): the scaling measurement is sustained
+    # node throughput under a fixed time budget, so both shards stay busy
+    # for the whole window — a close-at-the-root instance would leave one
+    # process idle and measure load imbalance, not scaling
+    budget = int(os.environ.get("OMC_B5_BUDGET", "60"))
+    A, idx = generate_matrix_completion_data(1, 14, 14, 60, seed=7)
+    common = dict(
         node_selection="bestfirst",
         disjunctive_cuts_type="linear",
         disjunctive_cuts_breakpoints="smallest_1_eigvec",
         gap=1e-4, batch_size=4, sdp_iters=700, dtype="float64",
-        time_limit=300, verbosity=0,
+        verbosity=0,
+    )
+    # untimed warmup: compile the solver programs for the cut-capacity
+    # buckets the timed run will hit (XLA CPU compiles several seconds per
+    # (L, B) bucket; paying them inside the measured window would make the
+    # scaling number mostly a compile-latency race between processes)
+    matrix_completion_branchandbound(
+        1, A, idx, 160.0, use_max_steps=True, max_steps=12,
+        time_limit=budget, **common,
+    )
+    t0 = time.time()
+    sol, _, inst = matrix_completion_branchandbound(
+        1, A, idx, 160.0, time_limit=budget,
         distributed=(nproc > 1), dist_rebalance_every=2,
+        **common,
     )
     elapsed = time.time() - t0
     rd = inst["run_details"]
