@@ -317,11 +317,22 @@ def matrix_completion_branchandbound(
     rng = np.random.default_rng(cfg.seed)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     np_dtype = np.float64 if cfg.dtype == "float64" else np.float32
-    # ADMM penalty: explicit knob wins; otherwise size-scaled (see
-    # SolverConfig.sdp_rho)
+    # ADMM penalty: explicit knob wins; otherwise size- and density-scaled
+    # (see SolverConfig.sdp_rho).  Sparser observation worsens the data
+    # term's conditioning and wants a larger penalty — measured on rank-1
+    # 50x50 (device seconds to certify 1e-4): 50% observed is best at
+    # rho 0.025 (1.2 s; 0.05 needs an extra visit), 30% at 0.05 (5.3 s vs
+    # 16.4 s at 0.025), 20% at 0.05 — with a sharp cliff above (0.1
+    # oscillates, 125 s).  The density factor is capped at 2 and the
+    # result at 0.05 to stay below the cliff.
+    frac_obs = float(mask.mean()) if mask.size else 1.0
     rho_base = (
         cfg.sdp_rho if cfg.sdp_rho is not None
-        else min(0.025, 62.5 / float(n * m))
+        else min(
+            0.05,
+            (62.5 / float(n * m))
+            * min(2.0, 0.5 / max(frac_obs, 1e-6)),
+        )
     )
     verbosity = cfg.verbosity
 
